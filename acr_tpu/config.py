@@ -1,0 +1,217 @@
+"""Typed configuration with reference-compatible flag names.
+
+Mirrors the surface of the reference config system (reference:
+acr/config.py:19-222) — ~same flag names, same CLI > YAML > default
+precedence — but as a plain dataclass instead of a global argparse
+namespace mutated via ``exec()``. No import-time parsing, no global
+mutable state: a ``Config`` is constructed explicitly and passed down.
+
+YAML overlay semantics (reference: acr/config.py:194-209): values from
+the YAML file referenced by ``--configs_yml`` override dataclass
+defaults, but any flag explicitly passed on the CLI beats the YAML.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@dataclass
+class Config:
+    # ------ top-level demo options (reference: acr/config.py:23-41) ------
+    tab: str = "ACR"
+    configs_yml: str = os.path.join(_REPO_ROOT, "configs", "demo.yml")
+    inputs: Optional[str] = None
+    output_dir: Optional[str] = None
+    interactive_vis: bool = False
+    soi_camera: str = "far"
+    temporal_optimization: bool = False          # -t
+    smooth_coeff: float = 4.0
+    save_dict_results: bool = False              # -s
+    save_visualization_on_img: bool = True       # -v flips to False
+    vis_otherview: bool = False
+    higher_resolution: bool = False
+    renderer: str = "tpu"                        # tpu | native | none (reference: pyrender/pytorch3d)
+    render_size: int = 512
+    cam_id: int = 0
+    demo_mode: str = "image"                     # image | video | folder | webcam
+
+    # ------ mode options (reference: acr/config.py:45-50) ------
+    model_version: int = 1
+    multi_hand: bool = True
+    perspective_proj: bool = False
+    FOV: float = 22.5
+    focal_length: float = 1265.0
+
+    # ------ run options ------
+    batch_size: int = 64
+    val_batch_size: int = 1
+    input_size: int = 512
+
+    # ------ model settings (reference: acr/config.py:95-101) ------
+    backbone: str = "hrnet"
+    model_precision: str = "fp32"                # fp32 | bf16 (reference: fp32/fp16)
+    head_block_num: int = 2
+    merge_mano_camera_head: bool = False
+    use_coordmaps: bool = True
+
+    # ------ part / cross-hand settings (reference: acr/config.py:81-89) ------
+    offset_mode: str = "concat"                  # offset | replace | concat
+    attention_mode: str = "pred-part"            # pred-part | gt-part
+    inter_prior: bool = True
+    prior_mode: str = "cross"                    # cross | merge | none
+    prior_gate_px: float = 32.0                  # center-distance gate (reference: acr/result_parser.py:42-47)
+
+    # ------ center map options (reference: acr/config.py:130-134) ------
+    centermap_size: int = 64
+    centermap_conf_thresh: float = 0.35
+    kernel_sizes: Tuple[int, ...] = (5,)
+    max_hand: int = 4
+
+    # ------ checkpoint / assets (reference: acr/config.py:143,173) ------
+    model_path: str = os.path.join(_REPO_ROOT, "checkpoints", "wild.npz")
+    mano_model_path: str = os.path.join(_REPO_ROOT, "model_data", "mano")
+
+    # ------ mano options (reference: acr/config.py:165-176) ------
+    mano_mesh_root_align: bool = True
+    Rot_type: str = "6D"
+    rot_dim: int = 6
+    cam_dim: int = 3
+    align_idx: int = 9
+    beta_dim: int = 10
+    mano_theta_num: int = 16
+
+    # ------ dataset tag (used only to gate prior logic in the reference) ------
+    dataset: str = "internet"
+
+    # ------ TPU-native additions (no reference equivalent) ------
+    mesh_axes: Tuple[str, ...] = ("data",)       # device mesh axis names
+    data_parallel: int = 1                       # number of chips to shard batch over
+    use_pallas_mano: bool = True                 # fused Pallas MANO kernel (fallback: pure JAX)
+    use_pallas_raster: bool = True               # Pallas rasterizer (fallback: lax.scan)
+    jit_translation_solve: bool = True           # closed-form weighted-LS on device (reference: host solvePnPRansac)
+    profile_dir: Optional[str] = None            # jax.profiler trace output
+
+    # free-form overflow for YAML keys that aren't first-class fields
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+    # -------------------------------------------------------------
+    @property
+    def params_num(self) -> int:
+        """Per-hand parameter-vector width: cam + 6D rots + betas.
+
+        Layout contract (reference: acr/result_parser.py:11-14):
+        ``[cam(3) | global_orient(rot_dim) | hand_pose((theta_num-1)*rot_dim) | betas(10)]``.
+        """
+        return self.cam_dim + self.rot_dim * self.mano_theta_num + self.beta_dim
+
+    @property
+    def map_channels(self) -> int:
+        """Channels of params/prior maps emitted by the heads (no cam)."""
+        return self.params_num - self.cam_dim
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+_FIELD_TYPES = {f.name: f.type for f in dataclasses.fields(Config)}
+
+
+def _coerce(name: str, value: Any) -> Any:
+    """Coerce a YAML/CLI value to the declared field type."""
+    ftype = str(_FIELD_TYPES.get(name, ""))
+    if value is None:
+        return None
+    if "bool" in ftype and not isinstance(value, bool):
+        if isinstance(value, str):
+            return value.strip().lower() in ("1", "true", "yes", "on")
+        return bool(value)
+    if "int" in ftype and "Tuple" not in ftype:
+        return int(value)
+    if "float" in ftype:
+        return float(value)
+    if "Tuple" in ftype and isinstance(value, (list, tuple)):
+        return tuple(value)
+    return value
+
+
+def load_yaml_overrides(path: str) -> Dict[str, Any]:
+    """Read the ``ARGS:`` section of a reference-style YAML config."""
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    return dict(data.get("ARGS", data) or {})
+
+
+def make_config(yaml_path: Optional[str] = None,
+                cli_overrides: Optional[Dict[str, Any]] = None) -> Config:
+    """Build a Config with CLI > YAML > default precedence."""
+    cli_overrides = dict(cli_overrides or {})
+    cfg_kwargs: Dict[str, Any] = {}
+    extras: Dict[str, Any] = {}
+
+    yml = cli_overrides.get("configs_yml", yaml_path)
+    if yml and os.path.exists(yml):
+        for key, value in load_yaml_overrides(yml).items():
+            if key in cli_overrides:   # CLI beats YAML
+                continue
+            if key in _FIELD_TYPES:
+                cfg_kwargs[key] = _coerce(key, value)
+            else:
+                extras[key] = value
+
+    for key, value in cli_overrides.items():
+        if key in _FIELD_TYPES:
+            cfg_kwargs[key] = _coerce(key, value)
+        else:
+            extras[key] = value
+
+    cfg_kwargs["extras"] = extras
+    return Config(**cfg_kwargs)
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    """CLI with reference-compatible flag names, generated from Config."""
+    p = argparse.ArgumentParser(
+        description="acr_tpu: TPU-native arbitrary two-hand 3D reconstruction")
+    short = {"temporal_optimization": "-t", "save_dict_results": "-s",
+             "save_visualization_on_img": "-v"}
+    defaults = Config()
+    for f in dataclasses.fields(Config):
+        if f.name == "extras":
+            continue
+        flag = "--{}".format(f.name)
+        names = [short[f.name], flag] if f.name in short else [flag]
+        ftype = str(f.type)
+        default_val = getattr(defaults, f.name)
+        if "bool" in ftype:
+            if f.name == "save_visualization_on_img":
+                # reference: -v *disables* rendering (store_false, acr/config.py:33)
+                p.add_argument(*names, dest=f.name, action="store_false",
+                               default=argparse.SUPPRESS)
+            elif default_val is True:
+                p.add_argument(flag, dest=f.name, type=str,
+                               default=argparse.SUPPRESS, metavar="BOOL")
+            else:
+                p.add_argument(*names, dest=f.name, action="store_true",
+                               default=argparse.SUPPRESS)
+        elif "Tuple" in ftype:
+            p.add_argument(flag, dest=f.name, type=int, nargs="+",
+                           default=argparse.SUPPRESS)
+        else:
+            base = float if "float" in ftype else (int if "int" in ftype else str)
+            p.add_argument(*names, dest=f.name, type=base,
+                           default=argparse.SUPPRESS)
+    return p
+
+
+def parse_args(argv: Optional[List[str]] = None) -> Config:
+    ns = build_arg_parser().parse_args(argv)
+    return make_config(cli_overrides=vars(ns))

@@ -1,0 +1,23 @@
+"""Test harness setup.
+
+Tests run on the JAX CPU backend with 8 virtual devices so that
+multi-chip sharding paths (jax.sharding.Mesh over the 'data' axis) are
+exercised without real TPU hardware (SURVEY.md §4). Environment must be
+set before the first `import jax` anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(0)
