@@ -1,0 +1,7 @@
+from acr_tpu.io.params import (
+    flatten_params,
+    load_params_npz,
+    save_params_npz,
+    unflatten_params,
+)
+from acr_tpu.io.torch_names import map_flax_path

@@ -1,0 +1,188 @@
+"""ACR network: HRNet backbone + global heads + attention-collaboration part module.
+
+Capability-parity with the reference model (acr/model.py:23-329) in its
+demo configuration (inter_prior=True, prior_mode='cross',
+offset_mode='concat', attention_mode='pred-part', centermap_size=64):
+
+* global module — per hand (left/right): a params map (106ch), a center
+  heatmap (1ch), a camera map (3ch, scale made positive via 1.1**x), and
+  a cross-hand prior map (106ch), all at 64x64
+  (reference: acr/model.py:68-101,185-202).
+* part module — the predicted 33-class part segmentation (256x256)
+  becomes 32 spatial attention maps at 128x128; Hadamard attention
+  pooling reduces 256-d contact features and 64-d shape features to
+  per-part vectors; per-joint locally-connected heads regress 6D pose
+  offsets and a Linear head regresses shape; the resulting 109-d vector
+  is broadcast to 64x64 and fused with the global params map by a 1x1
+  conv over the concatenation (reference: acr/model.py:103-166,204-260).
+
+Everything is NHWC and fixed-shape; the attention pooling is a single
+softmax + batched matmul (MXU) instead of reshape/permute chains.
+
+Output dict values are float32 regardless of compute dtype, matching
+the reference's ``.float()`` casts (acr/model.py:56-63).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from acr_tpu.models.hrnet import HRNetBackbone, SegmNet
+from acr_tpu.models.layers import (
+    BasicBlock,
+    ConvBN,
+    conv,
+    downsample_nearest_half,
+    get_coord_maps,
+)
+
+N_PARTS = 32          # 16 per hand; channel 0 of the segm map is background
+PARAMS_CH = 106       # 6D rots (96) + betas (10)
+CAM_CH = 3
+MAP_SIZE = 64
+
+
+class HeadStack(nn.Module):
+    """stride-2 transition conv + N BasicBlocks + 1x1 output conv.
+
+    The reference `_make_head_layers` (acr/model.py:288-313) for
+    centermap_size=64: one k3/s2 conv block then head blocks.
+    """
+    out_ch: int
+    width: int = 64
+    num_blocks: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvBN(self.width, kernel=3, stride=2, use_bias=True,
+                   dtype=self.dtype, name="trans")(x)
+        for k in range(self.num_blocks):
+            x = BasicBlock(self.width, dtype=self.dtype, name=f"blk{k}")(x)
+        return conv(self.out_ch, 1, pad=0, use_bias=True, dtype=self.dtype,
+                    name="out")(x)
+
+
+class LocallyConnected(nn.Module):
+    """Per-position 1x1 'conv' over a 16x1 joint grid (PARE-style head).
+
+    Unshared weights per joint: out[b,o,j] = sum_c w[o,c,j] * x[b,c,j]
+    — one einsum (reference: acr/model.py:541-569 via unfold/broadcast).
+    """
+    out_ch: int = 6
+    in_ch: int = 256
+    positions: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, in_ch, positions)
+        w = self.param("w", nn.initializers.normal(1.0),
+                       (self.out_ch, self.in_ch, self.positions))
+        return jnp.einsum("ocj,bcj->boj", w.astype(self.dtype), x)
+
+
+def hadamard_pool(features: jnp.ndarray, attention: jnp.ndarray) -> jnp.ndarray:
+    """Spatial-softmax attention pooling.
+
+    features (B,H,W,C), attention (B,H,W,J) -> (B,C,J):
+    softmax attention over H*W per part, then matmul with features
+    (reference: acr/model.py:103-113).
+    """
+    b, h, w, c = features.shape
+    j = attention.shape[-1]
+    att = jax.nn.softmax(attention.reshape(b, h * w, j), axis=1)
+    feat = features.reshape(b, h * w, c)
+    return jnp.einsum("bpj,bpc->bcj", att, feat)
+
+
+class ACRNet(nn.Module):
+    """Full-frame network: uint8 image (B,512,512,3) -> output maps dict."""
+    dtype: Any = jnp.float32
+    inter_prior: bool = True
+    head_block_num: int = 2
+
+    @nn.compact
+    def __call__(self, image_uint8: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        feats = HRNetBackbone(dtype=self.dtype, name="backbone")(image_uint8)
+        pred_segm = SegmNet(dtype=self.dtype, name="segm")(feats)   # (B,256,256,33)
+
+        coords = get_coord_maps(feats.shape[1], self.dtype)
+        x = jnp.concatenate(
+            [feats, jnp.broadcast_to(coords, feats.shape[:3] + (2,))], axis=-1)
+
+        # ---- global module (per hand) ----
+        def global_maps(side: str):
+            params = HeadStack(PARAMS_CH, num_blocks=self.head_block_num,
+                               dtype=self.dtype, name=f"{side}_params_head")(x)
+            center = HeadStack(1, num_blocks=self.head_block_num,
+                               dtype=self.dtype, name=f"{side}_center_head")(x)
+            cam = HeadStack(CAM_CH, num_blocks=self.head_block_num,
+                            dtype=self.dtype, name=f"{side}_cam_head")(x)
+            prior = None
+            if self.inter_prior:
+                prior = HeadStack(PARAMS_CH, num_blocks=self.head_block_num,
+                                  dtype=self.dtype, name=f"{side}_prior_head")(x)
+            # positive scale via 1.1^s (reference: acr/model.py:95-96)
+            cam = jnp.concatenate(
+                [jnp.power(1.1, cam[..., :1]), cam[..., 1:]], axis=-1)
+            return jnp.concatenate([cam, params], axis=-1), center, prior
+
+        l_params, l_center, l_prior = global_maps("l")
+        r_params, r_center, r_prior = global_maps("r")
+
+        # ---- part (attention-collaboration) module ----
+        # 256->128 nearest downsample, drop background channel
+        part_att = downsample_nearest_half(pred_segm)[..., 1:]       # (B,128,128,32)
+
+        contact_feats = ConvBN(256, kernel=3, use_bias=True, dtype=self.dtype,
+                               name="contact_conv")(x)               # (B,128,128,256)
+        shape_feats = conv(64, 1, pad=0, use_bias=True, dtype=self.dtype,
+                           name="cam_shape_conv")(contact_feats)     # (B,128,128,64)
+
+        pooled_contact = hadamard_pool(contact_feats, part_att)      # (B,256,32)
+        pooled_shape = hadamard_pool(shape_feats, part_att)          # (B,64,32)
+
+        # parts 0..15 are RIGHT, 16..31 LEFT (reference: acr/model.py:141-146)
+        per_side = {
+            "r": (pooled_contact[:, :, :16], pooled_shape[:, :, :16]),
+            "l": (pooled_contact[:, :, 16:], pooled_shape[:, :, 16:]),
+        }
+
+        def part_refine(side: str, params_map: jnp.ndarray) -> jnp.ndarray:
+            contact, shape = per_side[side]
+            b = contact.shape[0]
+            # (B,6,16) -> per-joint-contiguous 96-vector [(j0 6d), (j1 6d), ...]
+            offs = LocallyConnected(dtype=self.dtype,
+                                    name=f"{side}_pose_lc")(contact)
+            offs = offs.transpose(0, 2, 1).reshape(b, 96)
+            # flatten (B,64,16) channel-major, matching torch flatten order
+            shape_flat = shape.reshape(b, 64 * 16)
+            betas = nn.Dense(10, dtype=self.dtype,
+                             name=f"{side}_shape_fc")(shape_flat)
+            pare = jnp.concatenate([offs, betas], axis=-1)           # (B,106)
+            mh, mw = params_map.shape[1:3]
+            pare_map = jnp.broadcast_to(
+                pare[:, None, None, :], (b, mh, mw, PARAMS_CH))
+            pare_map = jnp.concatenate(
+                [params_map[..., :CAM_CH], pare_map], axis=-1)       # (B,64,64,109)
+            fused_in = jnp.concatenate([params_map, pare_map], axis=-1)
+            return conv(CAM_CH + PARAMS_CH, 1, pad=0, use_bias=True,
+                        dtype=self.dtype, name=f"{side}_fuse_conv")(fused_in)
+
+        l_params = part_refine("l", l_params)
+        r_params = part_refine("r", r_params)
+
+        f32 = lambda t: None if t is None else t.astype(jnp.float32)
+        return {
+            "l_params_maps": f32(l_params),
+            "r_params_maps": f32(r_params),
+            "l_center_map": f32(l_center),
+            "r_center_map": f32(r_center),
+            "l_prior_maps": f32(l_prior),
+            "r_prior_maps": f32(r_prior),
+            "segms": f32(pred_segm),
+        }

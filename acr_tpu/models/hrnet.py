@@ -1,0 +1,148 @@
+"""HRNet-W32-style backbone in flax (NHWC, inference-folded BN).
+
+Capability-parity with the reference ``HigherResolutionNet``
+(reference: acr/model.py:571-881): stem of two stride-2 3x3 convs, a
+4-Bottleneck layer1, then three multi-resolution stages
+(1 module / 2 branches, 4 modules / 3 branches, 3 modules / 4 branches,
+channels [32, 64, 128, 256]) with all-to-all SUM fusion; returns the
+highest-resolution branch — (B, 128, 128, 32) for a 512x512 input.
+Input normalization ``(x / 255) * 2 - 1`` lives inside the module like
+the reference (acr/model.py:832), so callers feed raw uint8 frames.
+
+TPU-first notes: NHWC layout (native for XLA:TPU convs), optional bf16
+compute dtype, coarse->fine fusion via nearest ``jnp.repeat`` upsample
+(layout-preserving broadcast, not gather).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from acr_tpu.models.layers import (
+    BasicBlock,
+    Bottleneck,
+    ConvBN,
+    upsample_nearest,
+)
+
+STAGE2 = {"num_modules": 1, "channels": (32, 64), "num_blocks": 4}
+STAGE3 = {"num_modules": 4, "channels": (32, 64, 128), "num_blocks": 4}
+STAGE4 = {"num_modules": 3, "channels": (32, 64, 128, 256), "num_blocks": 4}
+
+
+class HRModule(nn.Module):
+    """Parallel multi-resolution branches + all-to-all SUM fuse.
+
+    Branch i runs ``num_blocks`` BasicBlocks at channels[i]; fusion sends
+    every branch j to every output branch i (1x1 conv + nearest x2^(j-i)
+    upsample for coarse->fine, a chain of stride-2 3x3 convs for
+    fine->coarse), summed then ReLU'd
+    (reference: acr/model.py:571-686).
+    """
+    channels: Sequence[int]
+    num_blocks: int = 4
+    multi_scale_output: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
+        n = len(self.channels)
+        # branches
+        ys = []
+        for i in range(n):
+            h = xs[i]
+            for k in range(self.num_blocks):
+                h = BasicBlock(self.channels[i], dtype=self.dtype,
+                               name=f"b{i}_{k}")(h)
+            ys.append(h)
+        if n == 1:
+            return ys
+
+        n_out = n if self.multi_scale_output else 1
+        fused = []
+        for i in range(n_out):
+            acc = None
+            for j in range(n):
+                if j == i:
+                    contrib = ys[j]
+                elif j > i:
+                    contrib = ConvBN(self.channels[i], kernel=1, relu=False,
+                                     dtype=self.dtype, name=f"fuse_{i}_{j}")(ys[j])
+                    contrib = upsample_nearest(contrib, 2 ** (j - i))
+                else:
+                    contrib = ys[j]
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        feats = self.channels[i] if last else self.channels[j]
+                        contrib = ConvBN(feats, kernel=3, stride=2,
+                                         relu=not last, dtype=self.dtype,
+                                         name=f"fuse_{i}_{j}_{k}")(contrib)
+                acc = contrib if acc is None else acc + contrib
+            fused.append(nn.relu(acc))
+        return fused
+
+
+class SegmNet(nn.Module):
+    """Part-segmentation head: 128 -> 256 upsample, 33-class logits.
+
+    bilinear x2 (align_corners) -> DoubleConv(32 -> 16 -> 64) ->
+    truncated DoubleConv(64 -> 33 -> 33)
+    (reference: acr/model.py:374-463; SegmHead(32, 128, 64, 33)).
+    """
+    out_dim: int = 33
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from acr_tpu.models.layers import conv, FoldedBN, resize_bilinear_align_corners
+        h, w = x.shape[1], x.shape[2]
+        x = resize_bilinear_align_corners(x, (h * 2, w * 2))
+        # Up.conv = DoubleConv(in=32, out=64, mid=in//2=16)
+        x = ConvBN(16, kernel=3, use_bias=True, dtype=self.dtype, name="up1")(x)
+        x = ConvBN(64, kernel=3, use_bias=True, dtype=self.dtype, name="up2")(x)
+        # segm_net = DoubleConv(64, 33) truncated to [conv, bn, relu, conv]
+        x = ConvBN(self.out_dim, kernel=3, use_bias=True, dtype=self.dtype,
+                   name="out1")(x)
+        x = conv(self.out_dim, 3, use_bias=True, dtype=self.dtype, name="out_conv2")(x)
+        return x
+
+
+class HRNetBackbone(nn.Module):
+    """Stem + layer1 + 3 multi-resolution stages; returns (B,128,128,32)."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_uint8: jnp.ndarray) -> jnp.ndarray:
+        x = image_uint8.astype(self.dtype) / 255.0 * 2.0 - 1.0
+        x = ConvBN(64, kernel=3, stride=2, dtype=self.dtype, name="stem1")(x)
+        x = ConvBN(64, kernel=3, stride=2, dtype=self.dtype, name="stem2")(x)
+        for k in range(4):
+            x = Bottleneck(64, downsample=(k == 0), dtype=self.dtype,
+                           name=f"layer1_{k}")(x)          # -> 256 ch, /4
+
+        # transition1: 256 -> [32 (same res), 64 (stride 2)]
+        xs = [
+            ConvBN(32, kernel=3, dtype=self.dtype, name="transition1_0")(x),
+            ConvBN(64, kernel=3, stride=2, dtype=self.dtype,
+                   name="transition1_1_0")(x),
+        ]
+        for m in range(STAGE2["num_modules"]):
+            xs = HRModule(STAGE2["channels"], dtype=self.dtype,
+                          name=f"stage2_{m}")(xs)
+
+        xs = xs + [ConvBN(128, kernel=3, stride=2, dtype=self.dtype,
+                          name="transition2_2_0")(xs[-1])]
+        for m in range(STAGE3["num_modules"]):
+            xs = HRModule(STAGE3["channels"], dtype=self.dtype,
+                          name=f"stage3_{m}")(xs)
+
+        xs = xs + [ConvBN(256, kernel=3, stride=2, dtype=self.dtype,
+                          name="transition3_3_0")(xs[-1])]
+        for m in range(STAGE4["num_modules"]):
+            last = m == STAGE4["num_modules"] - 1
+            xs = HRModule(STAGE4["channels"], multi_scale_output=not last,
+                          dtype=self.dtype, name=f"stage4_{m}")(xs)
+        return xs[0]

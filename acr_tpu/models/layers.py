@@ -1,0 +1,168 @@
+"""Building-block modules for the ACR network, in flax/NHWC.
+
+Inference-first design decisions (vs the reference torch modules,
+acr/model.py:415-569):
+
+* BatchNorm is a folded affine (`FoldedBN`): the checkpoint converter
+  precomputes ``scale = gamma / sqrt(running_var + eps)`` and
+  ``bias = beta - running_mean * scale``, so at runtime BN is one
+  multiply-add that XLA fuses into the preceding conv.
+* All convs use explicit torch-style padding numbers so spatial
+  semantics match the reference exactly (XLA 'SAME' distributes
+  stride-2 padding differently than torch's symmetric pad=1).
+* align_corners=True bilinear upsampling is expressed as two small
+  interpolation-matrix matmuls (MXU-friendly, exactly matches
+  ``F.interpolate(..., mode='bilinear', align_corners=True)``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class FoldedBN(nn.Module):
+    """Inference BatchNorm folded to a per-channel affine."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return x * scale.astype(self.dtype) + bias.astype(self.dtype)
+
+
+def conv(features: int, kernel: int, stride: int = 1, pad: Optional[int] = None,
+         use_bias: bool = False, name: Optional[str] = None,
+         dtype: Any = jnp.float32) -> nn.Conv:
+    """Torch-semantics Conv2d: explicit symmetric padding (default k//2)."""
+    if pad is None:
+        pad = kernel // 2
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=((pad, pad), (pad, pad)), use_bias=use_bias,
+                   dtype=dtype, name=name)
+
+
+class ConvBN(nn.Module):
+    """conv -> folded BN -> optional ReLU."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    relu: bool = True
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = conv(self.features, self.kernel, self.stride,
+                 use_bias=self.use_bias, dtype=self.dtype, name="conv")(x)
+        x = FoldedBN(self.features, dtype=self.dtype, name="bn")(x)
+        return nn.relu(x) if self.relu else x
+
+
+class BasicBlock(nn.Module):
+    """Residual basic block (reference: acr/model.py:470-499)."""
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        out = conv(self.features, 3, self.stride, dtype=self.dtype, name="conv1")(x)
+        out = FoldedBN(self.features, dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.features, 3, 1, dtype=self.dtype, name="conv2")(out)
+        out = FoldedBN(self.features, dtype=self.dtype, name="bn2")(out)
+        if self.downsample:
+            residual = conv(self.features, 1, self.stride, pad=0,
+                            dtype=self.dtype, name="down_conv")(x)
+            residual = FoldedBN(self.features, dtype=self.dtype, name="down_bn")(residual)
+        return nn.relu(out + residual)
+
+
+class Bottleneck(nn.Module):
+    """Residual bottleneck, expansion 4 (reference: acr/model.py:501-539)."""
+    features: int            # inner width; output = 4 * features
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+    EXPANSION: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        out_feats = self.features * self.EXPANSION
+        residual = x
+        out = conv(self.features, 1, 1, pad=0, dtype=self.dtype, name="conv1")(x)
+        out = FoldedBN(self.features, dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.features, 3, self.stride, dtype=self.dtype, name="conv2")(out)
+        out = FoldedBN(self.features, dtype=self.dtype, name="bn2")(out)
+        out = nn.relu(out)
+        out = conv(out_feats, 1, 1, pad=0, dtype=self.dtype, name="conv3")(out)
+        out = FoldedBN(out_feats, dtype=self.dtype, name="bn3")(out)
+        if self.downsample:
+            residual = conv(out_feats, 1, self.stride, pad=0,
+                            dtype=self.dtype, name="down_conv")(x)
+            residual = FoldedBN(out_feats, dtype=self.dtype, name="down_bn")(residual)
+        return nn.relu(out + residual)
+
+
+def upsample_nearest(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """NHWC nearest-neighbor upsample by an integer factor."""
+    x = jnp.repeat(x, factor, axis=1)
+    return jnp.repeat(x, factor, axis=2)
+
+
+def downsample_nearest_half(x: jnp.ndarray) -> jnp.ndarray:
+    """NHWC nearest downsample by 2 (torch F.interpolate(scale=0.5, 'nearest'))."""
+    return x[:, ::2, ::2, :]
+
+
+@functools.lru_cache(maxsize=32)
+def _align_corners_matrix(src: int, dst: int) -> np.ndarray:
+    """(dst, src) linear interpolation matrix with align_corners=True."""
+    m = np.zeros((dst, src), np.float32)
+    if dst == 1 or src == 1:
+        m[:, 0] = 1.0
+        return m
+    pos = np.arange(dst) * (src - 1) / (dst - 1)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, src - 1)
+    w = (pos - lo).astype(np.float32)
+    m[np.arange(dst), lo] += 1.0 - w
+    m[np.arange(dst), hi] += w
+    return m
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """NHWC bilinear resize matching torch align_corners=True.
+
+    Separable: two interpolation-matrix contractions that run on the MXU
+    instead of gathers.
+    """
+    h2, w2 = out_hw
+    ah = jnp.asarray(_align_corners_matrix(x.shape[1], h2), x.dtype)
+    aw = jnp.asarray(_align_corners_matrix(x.shape[2], w2), x.dtype)
+    x = jnp.einsum("oh,bhwc->bowc", ah, x)
+    return jnp.einsum("pw,bwoc->bpoc", aw, x.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
+
+
+def get_coord_maps(size: int = 128, dtype=jnp.float32) -> jnp.ndarray:
+    """(1, size, size, 2) CoordConv xy grid in [-1, 1].
+
+    Channel 0 varies along width (x), channel 1 along height (y)
+    (reference: acr/model.py:340-369).
+    """
+    r = np.arange(size, dtype=np.float32) / (size - 1) * 2 - 1
+    xx = np.tile(r[None, :], (size, 1))
+    yy = np.tile(r[:, None], (1, size))
+    out = np.stack([xx, yy], axis=-1)[None]
+    return jnp.asarray(out, dtype)

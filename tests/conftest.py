@@ -8,11 +8,18 @@ set before the first `import jax` anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Hard override to the CPU backend: the host sitecustomize registers the
+# 'axon' TPU platform and forces jax_platforms='axon,cpu' at interpreter
+# start (env vars are ignored), and TPU default conv/matmul precision is
+# reduced — tests need exact CPU math. Must run before any backend use.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Convert the reference torch checkpoint (wild.pkl) to acr_tpu npz.
+
+Replaces the reference's runtime checkpoint surgery — torch.load +
+``module.`` prefix stripping + tolerant copy_state_dict (reference:
+acr/utils.py:1106-1168, acr/main.py:59) — with a one-time offline
+conversion:
+
+* conv weights     (O, I, kh, kw) -> (kh, kw, I, O)
+* linear weights   (O, I)         -> (I, O)
+* BatchNorm        (gamma, beta, running_mean, running_var) folded to
+                   the inference affine: scale = gamma/sqrt(var+1e-5),
+                   bias = beta - mean*scale
+* LocallyConnected (1, O, C, J, 1, 1) -> (O, C, J)
+
+Unmapped torch keys (e.g. the unused `segmentation_layers` head,
+acr/model.py:262-286, and the torch ManoLayer buffers) are reported and
+dropped, mirroring the reference's tolerant load.
+
+Usage:
+  python tools/convert_checkpoint.py --torch_ckpt checkpoints/wild.pkl \
+      --out checkpoints/wild.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _to_numpy_state_dict(path: str) -> dict:
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict):
+        for key in ("model_state_dict", "state_dict"):
+            if key in obj:
+                obj = obj[key]
+                break
+    out = {}
+    for k, v in obj.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+def convert_state_dict(torch_sd: dict, flax_paths: list) -> tuple:
+    """Map a numpy-fied torch state dict onto flax paths.
+
+    Args:
+      torch_sd: {torch_key: ndarray}, 'module.' already stripped.
+      flax_paths: list of tuples — flax param paths (without 'params').
+    Returns:
+      (flat_params {'a/b/c': ndarray}, used_torch_keys, missing_paths)
+    """
+    from acr_tpu.io.torch_names import map_flax_path
+
+    flat, used, missing = {}, set(), []
+    for path in flax_paths:
+        name = "/".join(path)
+        try:
+            base, kind = map_flax_path(path)
+        except KeyError:
+            missing.append(name)
+            continue
+        try:
+            if kind == "conv_kernel":
+                w = torch_sd[base + ".weight"]
+                flat[name] = np.transpose(w, (2, 3, 1, 0))
+                used.add(base + ".weight")
+            elif kind == "conv_bias":
+                flat[name] = torch_sd[base + ".bias"]
+                used.add(base + ".bias")
+            elif kind == "dense_kernel":
+                flat[name] = np.transpose(torch_sd[base + ".weight"], (1, 0))
+                used.add(base + ".weight")
+            elif kind == "dense_bias":
+                flat[name] = torch_sd[base + ".bias"]
+                used.add(base + ".bias")
+            elif kind == "lc_weight":
+                w = torch_sd[base + ".weight"]
+                flat[name] = w.reshape(w.shape[1], w.shape[2], w.shape[3])
+                used.add(base + ".weight")
+            elif kind == "bn":
+                gamma = torch_sd[base + ".weight"]
+                beta = torch_sd[base + ".bias"]
+                mean = torch_sd[base + ".running_mean"]
+                var = torch_sd[base + ".running_var"]
+                scale = gamma / np.sqrt(var + 1e-5)
+                leaf = path[-1]
+                flat[name] = scale if leaf == "scale" else beta - mean * scale
+                used.update(base + s for s in
+                            (".weight", ".bias", ".running_mean", ".running_var"))
+            else:
+                raise KeyError(kind)
+        except KeyError:
+            missing.append(name)
+    return flat, used, missing
+
+
+def enumerate_flax_paths() -> list:
+    """Init the flax model abstractly and list its parameter paths."""
+    import jax
+    import jax.numpy as jnp
+    from acr_tpu.models.acr import ACRNet
+
+    net = ACRNet()
+    shapes = jax.eval_shape(
+        lambda: net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 512, 512, 3), jnp.uint8)))
+    paths = []
+
+    def rec(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(prefix + (k,), v)
+        else:
+            paths.append(prefix)
+
+    rec((), shapes["params"])
+    return paths
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--torch_ckpt", required=True)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args(argv)
+
+    torch_sd = _to_numpy_state_dict(args.torch_ckpt)
+    paths = enumerate_flax_paths()
+    flat, used, missing = convert_state_dict(torch_sd, paths)
+
+    unused = sorted(set(torch_sd) - used)
+    print(f"converted {len(flat)}/{len(paths)} params")
+    if missing:
+        print(f"MISSING ({len(missing)}):", *missing[:20], sep="\n  ",
+              file=sys.stderr)
+    if unused:
+        print(f"unused torch keys ({len(unused)}), e.g.:",
+              *unused[:10], sep="\n  ")
+    np.savez(args.out, **flat)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
