@@ -1,0 +1,6 @@
+from acr_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_pipeline_inputs,
+)

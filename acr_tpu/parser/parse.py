@@ -1,0 +1,156 @@
+"""Map parsing: parameter sampling, cross-hand prior fusion, 6D decode.
+
+Fixed-shape re-design of the reference ResultParser
+(acr/result_parser.py:7-190). The reference drives this with
+data-dependent Python branches (hand-missing fallbacks, prior applied
+only when every image has both hands); here both hands always occupy a
+slot and everything is masked arithmetic, so the parse lives inside the
+jitted graph:
+
+* hand-missing fallback: sample flat index 0 with valid=False —
+  numerically identical to the reference's fallback
+  (result_parser.py:107-120).
+* cross prior ('cross' mode): each hand's params[3:] get the *other*
+  hand's prior map sampled at the other hand's center, gated to zero
+  when the two centers are more than 32px apart
+  (result_parser.py:140-145, 42-47). The gate here is per image; the
+  reference gates the whole batch on image 0's centers (fine at its
+  only supported batch size of 1) and additionally requires every
+  detection flag in the batch to be True — per-image masking is the
+  batched generalization.
+* 'merge' mode (Linear fusion of both hands' params+priors,
+  result_parser.py:147-154) is implemented for checkpoint-surface
+  parity even though the demo config never enables it.
+
+Output layout: hand axis of size 2, index 0 = left, 1 = right
+(hand_type 0/1, reference: acr/result_parser.py:36).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from acr_tpu.ops.rotations import rot6d_to_axis_angle
+from acr_tpu.parser.center import decode_centers
+
+CAM_DIM = 3
+ROT6D = 6
+POSE6D = 90            # 15 joints x 6
+BETAS = 10
+PARAMS = CAM_DIM + ROT6D + POSE6D + BETAS   # 109
+
+
+def sample_at_index(maps: jnp.ndarray, flat_inds: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-image channel vectors at flattened spatial indices.
+
+    maps: (B, H, W, C); flat_inds: (B,) int -> (B, C)
+    (reference: acr/result_parser.py:49-57 via view/permute/fancy-index).
+    """
+    b, h, w, c = maps.shape
+    flat = maps.reshape(b, h * w, c)
+    return jnp.take_along_axis(flat, flat_inds[:, None, None].astype(jnp.int32),
+                               axis=1)[:, 0]
+
+
+def split_params(params109: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """[cam(3) | orient(6D) | pose(15x6D) | betas(10)] -> decoded dict.
+
+    6D rotations are converted to axis-angle and concatenated to the
+    48-dim MANO pose vector (reference: acr/result_parser.py:24-34).
+    """
+    cam = params109[..., :CAM_DIM]
+    orient6 = params109[..., CAM_DIM:CAM_DIM + ROT6D]
+    pose6 = params109[..., CAM_DIM + ROT6D:CAM_DIM + ROT6D + POSE6D]
+    betas = params109[..., CAM_DIM + ROT6D + POSE6D:]
+    global_orient = rot6d_to_axis_angle(orient6)
+    hand_pose = rot6d_to_axis_angle(pose6)
+    poses = jnp.concatenate([global_orient, hand_pose], axis=-1)
+    return {"cam": cam, "global_orient": global_orient,
+            "hand_pose": hand_pose, "betas": betas, "poses": poses}
+
+
+class ParsedHands(NamedTuple):
+    params: jnp.ndarray       # (B, 2, 109) raw sampled+prior-fused params
+    cam: jnp.ndarray          # (B, 2, 3)
+    poses: jnp.ndarray        # (B, 2, 48) axis-angle
+    betas: jnp.ndarray        # (B, 2, 10)
+    detection_flag: jnp.ndarray   # (B, 2) bool — [left, right]
+    centers: jnp.ndarray      # (B, 2, 2) float (x, y) in map coords
+    centers_conf: jnp.ndarray  # (B, 2)
+    flat_inds: jnp.ndarray    # (B, 2) int32
+
+
+def parse_outputs(outputs: Dict[str, jnp.ndarray],
+                  conf_thresh: float = 0.35,
+                  prior_mode: str = "cross",
+                  prior_gate_px: float = 32.0,
+                  centermap_size: int = 64,
+                  input_size: int = 512,
+                  merge_params: Optional[Dict[str, jnp.ndarray]] = None,
+                  ) -> ParsedHands:
+    """Decode network output maps into per-hand parameters.
+
+    outputs: dict from ACRNet (NHWC maps). The prior gate compares the
+    two centers' euclidean distance *in 64-map cell units* against the
+    threshold (reference: result_parser.py:44-46 compares map coords
+    against 32 directly, i.e. half the map — 256px at 512 input).
+    """
+    l_dec = decode_centers(outputs["l_center_map"], 1, conf_thresh)
+    r_dec = decode_centers(outputs["r_center_map"], 1, conf_thresh)
+
+    l_valid, r_valid = l_dec.valid[:, 0], r_dec.valid[:, 0]
+    # hand-missing fallback: sample index 0 (reference: result_parser.py:107-120)
+    l_ind = jnp.where(l_valid, l_dec.flat_inds[:, 0], 0)
+    r_ind = jnp.where(r_valid, r_dec.flat_inds[:, 0], 0)
+
+    l_params = sample_at_index(outputs["l_params_maps"], l_ind)   # (B, 109)
+    r_params = sample_at_index(outputs["r_params_maps"], r_ind)
+
+    both = l_valid & r_valid
+    if prior_mode in ("cross", "merge") and outputs.get("l_prior_maps") is not None:
+        # sample each prior map at the OTHER hand's center
+        l_prior = sample_at_index(outputs["l_prior_maps"], r_ind)  # (B, 106)
+        r_prior = sample_at_index(outputs["r_prior_maps"], l_ind)
+        # zero the prior when centers are far apart (determine_coeff)
+        dist = jnp.linalg.norm(l_dec.yx[:, 0] - r_dec.yx[:, 0], axis=-1)
+        gate = (both & (dist <= prior_gate_px))[:, None].astype(l_prior.dtype)
+        if prior_mode == "cross":
+            l_params = l_params.at[:, CAM_DIM:].add(l_prior * gate)
+            r_params = r_params.at[:, CAM_DIM:].add(r_prior * gate)
+        else:  # 'merge': Linear(106*4 -> 106*2) over [l, l_prior, r, r_prior]
+            assert merge_params is not None, "merge mode needs fusion_fc params"
+            x = jnp.concatenate([l_params[:, CAM_DIM:], l_prior,
+                                 r_params[:, CAM_DIM:], r_prior], axis=-1)
+            merged = x @ merge_params["kernel"] + merge_params["bias"]
+            mgate = both[:, None]
+            l_params = l_params.at[:, CAM_DIM:].set(
+                jnp.where(mgate, merged[:, :106], l_params[:, CAM_DIM:]))
+            r_params = r_params.at[:, CAM_DIM:].set(
+                jnp.where(mgate, merged[:, 106:], r_params[:, CAM_DIM:]))
+
+    params = jnp.stack([l_params, r_params], axis=1)              # (B, 2, 109)
+    decoded = split_params(params)
+
+    # centers as (x, y) map coords (reference: result_parser.py:173-174)
+    centers = jnp.stack([
+        jnp.stack([l_ind % centermap_size, l_ind // centermap_size], -1),
+        jnp.stack([r_ind % centermap_size, r_ind // centermap_size], -1),
+    ], axis=1).astype(jnp.float32)
+    conf = jnp.stack([
+        sample_at_index(outputs["l_center_map"], l_ind)[:, 0],
+        sample_at_index(outputs["r_center_map"], r_ind)[:, 0],
+    ], axis=1)
+
+    return ParsedHands(
+        params=params,
+        cam=decoded["cam"],
+        poses=decoded["poses"],
+        betas=decoded["betas"],
+        detection_flag=jnp.stack([l_valid, r_valid], axis=1),
+        centers=centers,
+        centers_conf=conf,
+        flat_inds=jnp.stack([l_ind, r_ind], axis=1).astype(jnp.int32),
+    )

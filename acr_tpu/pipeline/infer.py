@@ -1,0 +1,157 @@
+"""End-to-end jitted inference: uint8 frame batch -> hands.
+
+The reference pipeline crosses the host/device boundary at least four
+times per frame (parser branches, OneEuro, solvePnP, rendering —
+SURVEY.md §3.1). Here the whole chain
+
+    backbone -> heads -> center decode -> parameter sampling ->
+    cross-hand prior -> 6D decode -> MANO -> weak-persp projection ->
+    metric translation solve -> original-image keypoint mapping
+
+is ONE jitted XLA program with fixed shapes: both hands always occupy a
+slot (axis 1: [left, right]) and ``detection_flag`` is data, not
+control flow. Host code only decodes/encodes frames.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acr_tpu.config import Config
+from acr_tpu.io.params import load_params_npz
+from acr_tpu.models.acr import ACRNet
+from acr_tpu.models.mano import ManoModel, load_mano_model, mano_forward
+from acr_tpu.parser.parse import parse_outputs
+from acr_tpu.pipeline.project import (
+    estimate_translation_ls,
+    kp2d_to_org_image,
+    weak_persp_project,
+)
+
+
+def forward_fn(net: ACRNet,
+               params: Dict[str, Any],
+               mano_l: ManoModel,
+               mano_r: ManoModel,
+               image: jnp.ndarray,
+               offsets: jnp.ndarray,
+               cfg: Config,
+               return_maps: bool = False) -> Dict[str, jnp.ndarray]:
+    """Pure function: (params, manos, uint8 image (B,S,S,3), offsets (B,10))
+    -> output dict with hand axis [left, right].
+    """
+    outputs = net.apply(params, image)
+    parsed = parse_outputs(
+        outputs,
+        conf_thresh=cfg.centermap_conf_thresh,
+        prior_mode=cfg.prior_mode if cfg.inter_prior else "none",
+        prior_gate_px=cfg.prior_gate_px,
+        centermap_size=cfg.centermap_size,
+        input_size=cfg.input_size)
+
+    align = cfg.align_idx if cfg.mano_mesh_root_align else None
+    verts_l, j3d_l, _ = mano_forward(mano_l, parsed.poses[:, 0],
+                                     parsed.betas[:, 0], center_idx=align)
+    verts_r, j3d_r, _ = mano_forward(mano_r, parsed.poses[:, 1],
+                                     parsed.betas[:, 1], center_idx=align)
+    verts = jnp.stack([verts_l, verts_r], axis=1)      # (B, 2, 778, 3)
+    j3d = jnp.stack([j3d_l, j3d_r], axis=1)            # (B, 2, 21, 3)
+
+    cam = parsed.cam                                   # (B, 2, 3)
+    verts_camed = weak_persp_project(verts, cam, keep_dim=True)
+    pj2d = weak_persp_project(j3d, cam)                # (B, 2, 21, 2), [-1,1]
+    pj2d_px = (pj2d + 1.0) * (cfg.input_size / 2.0)    # reference: utils.py:404
+    cam_trans = estimate_translation_ls(
+        j3d, pj2d_px, focal=cfg.focal_length,
+        img_size=(cfg.input_size, cfg.input_size))
+    pj2d_org = kp2d_to_org_image(pj2d, offsets[:, None, :])
+
+    out = {
+        "params": parsed.params,
+        "cam": cam,
+        "poses": parsed.poses,
+        "betas": parsed.betas,
+        "verts": verts,
+        "j3d": j3d,
+        "verts_camed": verts_camed,
+        "pj2d": pj2d,
+        "pj2d_org": pj2d_org,
+        "cam_trans": cam_trans,
+        "detection_flag": parsed.detection_flag,
+        "centers": parsed.centers,
+        "centers_conf": parsed.centers_conf,
+    }
+    if return_maps:
+        out["l_center_map"] = outputs["l_center_map"]
+        out["r_center_map"] = outputs["r_center_map"]
+        out["segms"] = outputs["segms"]
+    return out
+
+
+def mano_refine_fn(mano_l: ManoModel, mano_r: ManoModel,
+                   poses: jnp.ndarray, betas: jnp.ndarray, cam: jnp.ndarray,
+                   offsets: jnp.ndarray, cfg: Config) -> Dict[str, jnp.ndarray]:
+    """MANO + projection only, for re-running after temporal smoothing.
+
+    poses (B,2,48), betas (B,2,10), cam (B,2,3), offsets (B,10).
+    """
+    align = cfg.align_idx if cfg.mano_mesh_root_align else None
+    verts_l, j3d_l, _ = mano_forward(mano_l, poses[:, 0], betas[:, 0],
+                                     center_idx=align)
+    verts_r, j3d_r, _ = mano_forward(mano_r, poses[:, 1], betas[:, 1],
+                                     center_idx=align)
+    verts = jnp.stack([verts_l, verts_r], axis=1)
+    j3d = jnp.stack([j3d_l, j3d_r], axis=1)
+    verts_camed = weak_persp_project(verts, cam, keep_dim=True)
+    pj2d = weak_persp_project(j3d, cam)
+    pj2d_px = (pj2d + 1.0) * (cfg.input_size / 2.0)
+    cam_trans = estimate_translation_ls(
+        j3d, pj2d_px, focal=cfg.focal_length,
+        img_size=(cfg.input_size, cfg.input_size))
+    return {
+        "verts": verts, "j3d": j3d, "verts_camed": verts_camed,
+        "pj2d": pj2d, "pj2d_org": kp2d_to_org_image(pj2d, offsets[:, None, :]),
+        "cam_trans": cam_trans,
+    }
+
+
+class ACRPipeline:
+    """Stateful convenience wrapper: owns params/assets + jitted callables."""
+
+    def __init__(self, cfg: Config, params: Optional[Dict[str, Any]] = None):
+        self.cfg = cfg
+        dtype = jnp.bfloat16 if cfg.model_precision == "bf16" else jnp.float32
+        self.net = ACRNet(dtype=dtype)
+        self.params = params if params is not None else load_params_npz(cfg.model_path)
+        self.mano_l, faces_l = load_mano_model(cfg.mano_model_path, "left")
+        self.mano_r, faces_r = load_mano_model(cfg.mano_model_path, "right")
+        self.faces = np.stack([faces_l, faces_r])      # (2, 1538, 3)
+
+        self._jit_forward = jax.jit(
+            lambda p, ml, mr, img, off: forward_fn(
+                self.net, p, ml, mr, img, off, cfg),
+        )
+        self._jit_forward_maps = jax.jit(
+            lambda p, ml, mr, img, off: forward_fn(
+                self.net, p, ml, mr, img, off, cfg, return_maps=True),
+        )
+        self._jit_refine = jax.jit(
+            lambda poses, betas, cam, off: mano_refine_fn(
+                self.mano_l, self.mano_r, poses, betas, cam, off, cfg),
+        )
+
+    def __call__(self, image: np.ndarray, offsets: np.ndarray,
+                 return_maps: bool = False) -> Dict[str, jnp.ndarray]:
+        """image: uint8 (B, S, S, 3); offsets: float32 (B, 10)."""
+        fn = self._jit_forward_maps if return_maps else self._jit_forward
+        return fn(self.params, self.mano_l, self.mano_r,
+                  jnp.asarray(image), jnp.asarray(offsets))
+
+    def refine(self, poses, betas, cam, offsets) -> Dict[str, jnp.ndarray]:
+        return self._jit_refine(jnp.asarray(poses), jnp.asarray(betas),
+                                jnp.asarray(cam), jnp.asarray(offsets))

@@ -1,0 +1,196 @@
+"""On-device mesh renderer: z-buffer rasterizer + Lambert shading in JAX.
+
+Replaces the reference's native render backends — pyrender/OpenGL and
+pytorch3d CUDA (reference: acr/renderer/renderer_pyrd.py,
+renderer_pt3d.py) — with a fixed-shape XLA program sized for MANO
+meshes (2 hands x 1538 faces at up to 2048px).
+
+Camera model (matching the pyrender setup, renderer_pyrd.py:20-47):
+camera at the origin, IntrinsicsCamera(f, f, cx, cy); the reference
+rotates meshes 180deg about x and lets OpenGL look down -z, which for
+pixel coordinates reduces to a direct pinhole with image-down y:
+
+    u = f * x / z + cx,   v = f * y / z + cy,   z > 0 visible.
+
+Lighting reduces the same way: the scene's three intensity-0.5
+directional lights all point along the world -z axis with 0.3 ambient
+(renderer_pyrd.py:49-75), which in un-rotated mesh coordinates is a
+single Lambert term on -normal_z.
+
+Rasterization strategy: ``lax.scan`` over face chunks per image
+row-tile, carrying (z, face_id, barycentrics) buffers — bounded memory,
+fully fused by XLA, and shape-static so one compilation serves a whole
+video. Barycentric-interpolated vertex normals give smooth shading
+(pyrender's smooth=True default).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+VISIBLE_WEIGHT = 0.9          # reference: acr/visualization.py:157
+# hand colors indexed by type (0=left, 1=right); reference pre_colors
+# (acr/visualization.py:76)
+PRE_COLORS = np.array([[0.46, 0.59, 0.64], [0.94, 0.71, 0.53]], np.float32)
+
+
+def compute_vertex_normals(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """Area-weighted vertex normals. verts (V,3), faces (F,3) -> (V,3)."""
+    v0 = verts[faces[:, 0]]
+    v1 = verts[faces[:, 1]]
+    v2 = verts[faces[:, 2]]
+    fn = jnp.cross(v1 - v0, v2 - v0)            # area-weighted face normals
+    vn = jnp.zeros_like(verts)
+    for i in range(3):
+        vn = vn.at[faces[:, i]].add(fn)
+    norm = jnp.linalg.norm(vn, axis=-1, keepdims=True)
+    return vn / jnp.maximum(norm, 1e-12)
+
+
+def _project(verts: jnp.ndarray, focal: float, cx: float, cy: float):
+    """(V, 3) camera-space -> (u, v) pixels + depth, z clamped positive."""
+    z = jnp.maximum(verts[:, 2], 1e-4)
+    u = focal * verts[:, 0] / z + cx
+    v = focal * verts[:, 1] / z + cy
+    return jnp.stack([u, v, z], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "row_tile",
+                                             "face_chunk"))
+def rasterize(verts_screen: jnp.ndarray,
+              faces: jnp.ndarray,
+              height: int, width: int,
+              row_tile: int = 64,
+              face_chunk: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Z-buffer rasterization.
+
+    verts_screen: (V, 3) — (u, v, depth); faces: (F, 3) int32 (pad F to
+    a multiple of face_chunk with degenerate faces).
+    Returns (face_id (H, W) int32, -1 = background;
+             bary (H, W, 3) float32 barycentric coords of the winner).
+    """
+    f_total = faces.shape[0]
+    assert f_total % face_chunk == 0, "pad faces to a face_chunk multiple"
+    n_chunks = f_total // face_chunk
+    assert height % row_tile == 0
+    n_tiles = height // row_tile
+
+    tri = verts_screen[faces]                   # (F, 3, 3)
+    xs = tri[:, :, 0]
+    ys = tri[:, :, 1]
+    zs = tri[:, :, 2]
+    # signed double-area; degenerate faces excluded via |area| eps
+    area = ((xs[:, 1] - xs[:, 0]) * (ys[:, 2] - ys[:, 0])
+            - (xs[:, 2] - xs[:, 0]) * (ys[:, 1] - ys[:, 0]))
+    inv_area = jnp.where(jnp.abs(area) < 1e-9, 0.0, 1.0 / area)
+
+    px = jnp.arange(width, dtype=jnp.float32) + 0.5
+    chunk_ids = jnp.arange(n_chunks)
+
+    def render_tile(tile_idx):
+        py = (jnp.arange(row_tile, dtype=jnp.float32)
+              + tile_idx * row_tile + 0.5)
+        gx = px[None, :, None]                  # (1, W, 1)
+        gy = py[:, None, None]                  # (T, 1, 1)
+
+        def face_chunk_step(carry, ci):
+            zbuf, fid, bary = carry
+            sl = ci * face_chunk
+            cxs = jax.lax.dynamic_slice(xs, (sl, 0), (face_chunk, 3))
+            cys = jax.lax.dynamic_slice(ys, (sl, 0), (face_chunk, 3))
+            czs = jax.lax.dynamic_slice(zs, (sl, 0), (face_chunk, 3))
+            cinv = jax.lax.dynamic_slice(inv_area, (sl,), (face_chunk,))
+
+            # barycentric coordinates per (pixel, face)
+            def edge(ax, ay, bx, by):
+                return ((bx - ax) * (gy - ay[None, None, :])
+                        - (by - ay) * (gx - ax[None, None, :]))
+
+            w0 = edge(cxs[:, 1], cys[:, 1], cxs[:, 2], cys[:, 2]) * cinv
+            w1 = edge(cxs[:, 2], cys[:, 2], cxs[:, 0], cys[:, 0]) * cinv
+            w2 = 1.0 - w0 - w1
+            inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+                      & (cinv != 0.0)[None, None, :])
+            depth = (w0 * czs[:, 0] + w1 * czs[:, 1] + w2 * czs[:, 2])
+            depth = jnp.where(inside, depth, jnp.inf)
+
+            best = jnp.argmin(depth, axis=-1)               # (T, W)
+            best_z = jnp.take_along_axis(depth, best[..., None], -1)[..., 0]
+            take = lambda w: jnp.take_along_axis(w, best[..., None], -1)[..., 0]
+            new_bary = jnp.stack([take(w0), take(w1), take(w2)], axis=-1)
+
+            win = best_z < zbuf
+            zbuf = jnp.where(win, best_z, zbuf)
+            fid = jnp.where(win, sl + best, fid)
+            bary = jnp.where(win[..., None], new_bary, bary)
+            return (zbuf, fid, bary), None
+
+        init = (jnp.full((row_tile, width), jnp.inf),
+                jnp.full((row_tile, width), -1, jnp.int32),
+                jnp.zeros((row_tile, width, 3)))
+        (zbuf, fid, bary), _ = jax.lax.scan(face_chunk_step, init, chunk_ids)
+        return fid, bary
+
+    fids, barys = jax.lax.map(render_tile, jnp.arange(n_tiles))
+    return (fids.reshape(height, width),
+            barys.reshape(height, width, 3))
+
+
+def shade(face_id: jnp.ndarray, bary: jnp.ndarray, faces: jnp.ndarray,
+          normals: jnp.ndarray, face_colors: jnp.ndarray,
+          ambient: float = 0.3, directional: float = 1.5) -> jnp.ndarray:
+    """Lambert shading -> (H, W, 4) RGBA in [0, 1]; alpha = coverage.
+
+    directional=1.5 aggregates the reference's three 0.5-intensity
+    lights along -z (renderer_pyrd.py:49,68-75).
+    """
+    safe_id = jnp.maximum(face_id, 0)
+    tri_n = normals[faces[safe_id]]                    # (H, W, 3, 3)
+    n = jnp.einsum("hwk,hwkc->hwc", bary, tri_n)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    lambert = jnp.maximum(0.0, -n[..., 2])
+    intensity = jnp.clip(ambient + directional * lambert, 0.0, 1.0)
+    rgb = face_colors[safe_id] * intensity[..., None]
+    alpha = (face_id >= 0).astype(rgb.dtype)
+    return jnp.concatenate([rgb * alpha[..., None], alpha[..., None]], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "focal"))
+def render_hands(verts: jnp.ndarray,
+                 cam_trans: jnp.ndarray,
+                 detection_flag: jnp.ndarray,
+                 faces: jnp.ndarray,
+                 size: int = 512,
+                 focal: float = 1265.0) -> jnp.ndarray:
+    """Render both hand meshes of one image -> (size, size, 4) RGBA.
+
+    verts (2, 778, 3) root-relative; cam_trans (2, 3) metric camera
+    translation; detection_flag (2,) bool; faces (2, 1538, 3).
+    Undetected hands are removed by collapsing their faces to a
+    degenerate vertex (zero area -> never rasterized).
+    """
+    v_world = verts + cam_trans[:, None, :]            # (2, 778, 3)
+    all_verts = v_world.reshape(-1, 3)
+    offs = jnp.arange(2, dtype=faces.dtype)[:, None, None] * verts.shape[1]
+    all_faces = jnp.where(detection_flag[:, None, None], faces + offs, 0)
+    all_faces = all_faces.reshape(-1, 3)
+    # pad to a face-chunk multiple with degenerate faces
+    pad = (-all_faces.shape[0]) % 128
+    all_faces = jnp.concatenate(
+        [all_faces, jnp.zeros((pad, 3), all_faces.dtype)], axis=0)
+
+    normals = compute_vertex_normals(all_verts, all_faces)
+    screen = _project(all_verts, focal, size / 2.0, size / 2.0)
+    face_id, bary = rasterize(screen, all_faces, size, size)
+
+    hand_of_face = jnp.concatenate(
+        [jnp.zeros(faces.shape[1], jnp.int32),
+         jnp.ones(faces.shape[1], jnp.int32),
+         jnp.zeros(pad, jnp.int32)])
+    face_colors = jnp.asarray(PRE_COLORS)[hand_of_face]
+    return shade(face_id, bary, all_faces, normals, face_colors)

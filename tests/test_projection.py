@@ -1,0 +1,91 @@
+"""Projection + translation-solve + preprocessing tests."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from acr_tpu.pipeline.project import (
+    estimate_translation_ls,
+    kp2d_to_org_image,
+    weak_persp_project,
+)
+from acr_tpu.pipeline.preprocess import (
+    compute_pad_trbl,
+    img_preprocess,
+    pad_white_square,
+)
+
+
+def test_weak_persp_project(rng):
+    pts = rng.randn(2, 2, 5, 3).astype(np.float32)
+    cam = rng.randn(2, 2, 3).astype(np.float32)
+    got = np.asarray(weak_persp_project(jnp.asarray(pts), jnp.asarray(cam)))
+    want = pts[..., :2] * cam[..., None, 0:1] + cam[..., None, 1:3]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    kept = np.asarray(weak_persp_project(jnp.asarray(pts), jnp.asarray(cam),
+                                         keep_dim=True))
+    np.testing.assert_allclose(kept[..., 2], pts[..., 2], atol=1e-6)
+
+
+def test_translation_solve_recovers_exact(rng):
+    f, size = 1265.0, 512
+    cx = cy = size / 2
+    for _ in range(5):
+        j3d = rng.randn(21, 3).astype(np.float32) * 0.08
+        t = np.array([rng.uniform(-0.3, 0.3), rng.uniform(-0.3, 0.3),
+                      rng.uniform(1.5, 4.0)], np.float32)
+        p = j3d + t
+        uv = np.stack([f * p[:, 0] / p[:, 2] + cx,
+                       f * p[:, 1] / p[:, 2] + cy], axis=1)
+        got = np.asarray(estimate_translation_ls(
+            jnp.asarray(j3d[None]), jnp.asarray(uv[None]), focal=f,
+            img_size=(size, size)))[0]
+        np.testing.assert_allclose(got, t, atol=2e-2)
+
+
+def test_translation_solve_batched_shapes(rng):
+    j3d = rng.randn(4, 2, 21, 3).astype(np.float32)
+    uv = rng.rand(4, 2, 21, 2).astype(np.float32) * 512
+    out = estimate_translation_ls(jnp.asarray(j3d), jnp.asarray(uv))
+    assert out.shape == (4, 2, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_kp2d_to_org_image():
+    # padded image 100x100, pad left 20 -> x=-1 maps to -20 in cropped coords
+    offsets = jnp.asarray([[100, 100, 0, 0, 0, 0, 0, 0, 0, 20]], jnp.float32)
+    kp = jnp.asarray([[[-1.0, -1.0], [1.0, 1.0], [0.0, 0.0]]])
+    got = np.asarray(kp2d_to_org_image(kp, offsets))
+    np.testing.assert_allclose(got[0, 0], [-20, 0], atol=1e-5)
+    np.testing.assert_allclose(got[0, 1], [80, 100], atol=1e-5)
+    np.testing.assert_allclose(got[0, 2], [30, 50], atol=1e-5)
+
+
+def test_compute_pad_trbl():
+    assert compute_pad_trbl((100, 60)) == (0, 20, 0, 20)
+    assert compute_pad_trbl((100, 61)) == (0, 20, 0, 19)
+    assert compute_pad_trbl((60, 100)) == (20, 0, 20, 0)
+    assert compute_pad_trbl((64, 64)) == (0, 0, 0, 0)
+
+
+def test_pad_white_square(rng):
+    img = (rng.rand(100, 60, 3) * 255).astype(np.uint8)
+    padded, offsets = pad_white_square(img)
+    assert padded.shape == (100, 100, 3)
+    assert (padded[:, :20] == 255).all() and (padded[:, -20:] == 255).all()
+    np.testing.assert_array_equal(padded[:, 20:80], img)
+    np.testing.assert_array_equal(offsets,
+                                  [100, 100, 0, 0, 0, 0, 0, 20, 0, 20])
+
+
+def test_img_preprocess_end_to_end(rng):
+    bgr = (rng.rand(240, 320, 3) * 255).astype(np.uint8)
+    out = img_preprocess(bgr, "/tmp/x.jpg", input_size=128)
+    assert out["image"].shape == (1, 128, 128, 3)
+    assert out["image"].dtype == np.uint8
+    assert out["offsets"].shape == (1, 10)
+    # BGR->RGB: red channel of output mid-pixel comes from input channel 2
+    assert out["name"] == "x.jpg"
+    # offsets record the padded square: 320x320 with 40px top/bottom pads
+    np.testing.assert_array_equal(out["offsets"][0][:2], [320, 320])
+    np.testing.assert_array_equal(out["offsets"][0][6:], [40, 0, 40, 0])
