@@ -35,7 +35,12 @@ from acr_tpu.pipeline.capture import WebcamVideoStream
 from acr_tpu.pipeline.infer import ACRPipeline
 from acr_tpu.pipeline.preprocess import img_preprocess
 from acr_tpu.pipeline.results import reorganize_results
-from acr_tpu.pipeline.temporal import init_two_hand_filter, smooth_two_hands
+from acr_tpu.pipeline.temporal import (
+    init_two_hand_filter,
+    smooth_sequence,
+    smooth_two_hands,
+)
+from acr_tpu.utils.meters import StageTimer
 
 log = logging.getLogger("acr_tpu")
 
@@ -55,14 +60,18 @@ class ACRApp:
             lambda st, p, b, d: smooth_two_hands(
                 st, p, b, d, cfg.smooth_coeff))
         self.output_dir = cfg.output_dir or "./demos_outputs/"
+        self.timer = StageTimer()
 
     # ------------------------------------------------------------------
     def process_frame(self, bgr_frame: np.ndarray, path: str
                       ) -> Dict[str, list]:
         """Full per-frame stack; returns reference-format results dict."""
-        meta = img_preprocess(bgr_frame, path, input_size=self.cfg.input_size)
-        out = self.pipeline(meta["image"], meta["offsets"])
-        detected = np.asarray(out["detection_flag"])
+        with self.timer.stage("preprocess"):
+            meta = img_preprocess(bgr_frame, path,
+                                  input_size=self.cfg.input_size)
+        with self.timer.stage("device_step"):
+            out = self.pipeline(meta["image"], meta["offsets"])
+            detected = np.asarray(out["detection_flag"])
 
         if not detected.any():
             log.info("no hand detected: %s", path)
@@ -70,18 +79,21 @@ class ACRApp:
             return {path: []}
 
         if self.cfg.temporal_optimization:
-            self.filter_state, poses, betas = self._smooth(
-                self.filter_state, out["poses"][0], out["betas"][0],
-                out["detection_flag"][0])
-            out["poses"] = poses[None]
-            out["betas"] = betas[None]
-            out.update(self.pipeline.refine(out["poses"], out["betas"],
-                                            out["cam"], meta["offsets"]))
+            with self.timer.stage("smooth"):
+                self.filter_state, poses, betas = self._smooth(
+                    self.filter_state, out["poses"][0], out["betas"][0],
+                    out["detection_flag"][0])
+                out["poses"] = poses[None]
+                out["betas"] = betas[None]
+                out.update(self.pipeline.refine(out["poses"], out["betas"],
+                                                out["cam"], meta["offsets"]))
 
         results = reorganize_results(out, [path])
         if self.visualizer is not None:
-            rendered = self.visualizer.render_on_frame(bgr_frame, out, meta)
-            self._emit_frame(rendered, path)
+            with self.timer.stage("render"):
+                rendered = self.visualizer.render_on_frame(bgr_frame, out, meta)
+            with self.timer.stage("encode"):
+                self._emit_frame(rendered, path)
         else:
             self._emit_frame(bgr_frame, path)
         return results
@@ -126,12 +138,18 @@ class ACRApp:
         import cv2
         results: Dict = {}
         t0 = time.time()
-        for imgpath in file_list:
-            results.update(self.process_frame(cv2.imread(imgpath), imgpath))
+        if self.cfg.val_batch_size > 1 and file_list:
+            results = self._run_batched(file_list)
+        else:
+            for imgpath in file_list:
+                results.update(self.process_frame(cv2.imread(imgpath), imgpath))
         dt = time.time() - t0
         if file_list:
             log.info("%d frames in %.2fs (%.2f FPS)",
                      len(file_list), dt, len(file_list) / dt)
+            log.info("per-stage latency: %s",
+                     {k: f"{v['avg_ms']:.1f}ms"
+                      for k, v in self.timer.report().items()})
         if self.cfg.save_visualization_on_img and self.visualizer is not None:
             save_video(self.output_dir,
                        os.path.join(self.output_dir,
@@ -141,6 +159,78 @@ class ACRApp:
         return results
 
     run_video = run_folder    # video mode = split to frames, then folder mode
+
+    def _run_batched(self, file_list) -> Dict:
+        """Throughput path: fixed-size batches through the jitted step,
+        whole-sequence OneEuro via lax.scan, then per-frame rendering.
+
+        One compilation serves every chunk (the last one is padded by
+        repeating its final frame and trimmed after).
+        """
+        import cv2
+        bs = self.cfg.val_batch_size
+        frames, metas = [], []
+        with self.timer.stage("preprocess"):
+            for p in file_list:
+                f = cv2.imread(p)
+                frames.append(f)
+                metas.append(img_preprocess(f, p,
+                                            input_size=self.cfg.input_size))
+        images = np.concatenate([m["image"] for m in metas])
+        offsets = np.concatenate([m["offsets"] for m in metas])
+        total = len(file_list)
+
+        chunks = []
+        with self.timer.stage("device_step"):
+            for i in range(0, total, bs):
+                img_c, off_c = images[i:i + bs], offsets[i:i + bs]
+                pad = bs - len(img_c)
+                if pad:
+                    img_c = np.concatenate(
+                        [img_c, np.repeat(img_c[-1:], pad, axis=0)])
+                    off_c = np.concatenate(
+                        [off_c, np.repeat(off_c[-1:], pad, axis=0)])
+                o = self.pipeline(img_c, off_c)
+                keep = bs - pad
+                chunks.append({k: np.asarray(v)[:keep] for k, v in o.items()})
+        out = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
+
+        if self.cfg.temporal_optimization:
+            with self.timer.stage("smooth"):
+                seq = jax.jit(lambda st, p, b, d: smooth_sequence(
+                    st, p, b, d, self.cfg.smooth_coeff))
+                self.filter_state, poses, betas = seq(
+                    self.filter_state, out["poses"], out["betas"],
+                    out["detection_flag"])
+                out["poses"] = np.asarray(poses)
+                out["betas"] = np.asarray(betas)
+                for i in range(0, total, bs):
+                    sl = slice(i, min(i + bs, total))
+                    pad = bs - (sl.stop - sl.start)
+                    padded = lambda a: (np.concatenate(
+                        [a[sl], np.repeat(a[sl][-1:], pad, axis=0)])
+                        if pad else a[sl])
+                    ref = self.pipeline.refine(
+                        padded(out["poses"]), padded(out["betas"]),
+                        padded(out["cam"]), padded(offsets))
+                    for k, v in ref.items():
+                        out[k][sl] = np.asarray(v)[:sl.stop - sl.start]
+
+        results = reorganize_results(out, file_list)
+        for i, path in enumerate(file_list):
+            if not np.asarray(out["detection_flag"][i]).any():
+                self._emit_frame(frames[i], path)
+                continue
+            if self.visualizer is not None:
+                one = {k: v[i:i + 1] for k, v in out.items()}
+                with self.timer.stage("render"):
+                    rendered = self.visualizer.render_on_frame(
+                        frames[i], one, {"image": metas[i]["image"],
+                                         "offsets": metas[i]["offsets"]})
+                self._emit_frame(rendered, path)
+            else:
+                self._emit_frame(frames[i], path)
+        return results
 
     def run_webcam(self):
         cap = WebcamVideoStream(self.cfg.cam_id).start()

@@ -26,12 +26,24 @@ from acr_tpu.config import Config
 from acr_tpu.io.params import load_params_npz
 from acr_tpu.models.acr import ACRNet
 from acr_tpu.models.mano import ManoModel, load_mano_model, mano_forward
+from acr_tpu.ops.mano_kernel import (
+    ManoKernelData,
+    build_kernel_data,
+    mano_forward_fused,
+)
 from acr_tpu.parser.parse import parse_outputs
 from acr_tpu.pipeline.project import (
     estimate_translation_ls,
     kp2d_to_org_image,
     weak_persp_project,
 )
+
+
+def _apply_mano(mano, poses, betas, center_idx):
+    """Dispatch on asset type: fused Pallas kernel vs pure-JAX path."""
+    if isinstance(mano, ManoKernelData):
+        return mano_forward_fused(mano, poses, betas, center_idx=center_idx)
+    return mano_forward(mano, poses, betas, center_idx=center_idx)
 
 
 def forward_fn(net: ACRNet,
@@ -55,10 +67,10 @@ def forward_fn(net: ACRNet,
         input_size=cfg.input_size)
 
     align = cfg.align_idx if cfg.mano_mesh_root_align else None
-    verts_l, j3d_l, _ = mano_forward(mano_l, parsed.poses[:, 0],
-                                     parsed.betas[:, 0], center_idx=align)
-    verts_r, j3d_r, _ = mano_forward(mano_r, parsed.poses[:, 1],
-                                     parsed.betas[:, 1], center_idx=align)
+    verts_l, j3d_l, _ = _apply_mano(mano_l, parsed.poses[:, 0],
+                                    parsed.betas[:, 0], align)
+    verts_r, j3d_r, _ = _apply_mano(mano_r, parsed.poses[:, 1],
+                                    parsed.betas[:, 1], align)
     verts = jnp.stack([verts_l, verts_r], axis=1)      # (B, 2, 778, 3)
     j3d = jnp.stack([j3d_l, j3d_r], axis=1)            # (B, 2, 21, 3)
 
@@ -101,10 +113,8 @@ def mano_refine_fn(mano_l: ManoModel, mano_r: ManoModel,
     poses (B,2,48), betas (B,2,10), cam (B,2,3), offsets (B,10).
     """
     align = cfg.align_idx if cfg.mano_mesh_root_align else None
-    verts_l, j3d_l, _ = mano_forward(mano_l, poses[:, 0], betas[:, 0],
-                                     center_idx=align)
-    verts_r, j3d_r, _ = mano_forward(mano_r, poses[:, 1], betas[:, 1],
-                                     center_idx=align)
+    verts_l, j3d_l, _ = _apply_mano(mano_l, poses[:, 0], betas[:, 0], align)
+    verts_r, j3d_r, _ = _apply_mano(mano_r, poses[:, 1], betas[:, 1], align)
     verts = jnp.stack([verts_l, verts_r], axis=1)
     j3d = jnp.stack([j3d_l, j3d_r], axis=1)
     verts_camed = weak_persp_project(verts, cam, keep_dim=True)
@@ -131,6 +141,11 @@ class ACRPipeline:
         self.mano_l, faces_l = load_mano_model(cfg.mano_model_path, "left")
         self.mano_r, faces_r = load_mano_model(cfg.mano_model_path, "right")
         self.faces = np.stack([faces_l, faces_r])      # (2, 1538, 3)
+        if cfg.use_pallas_mano and jax.default_backend() not in ("cpu",):
+            # fused Pallas blendshape+LBS kernel (TPU-native backends only;
+            # the pure-JAX path serves CPU tests)
+            self.mano_l = build_kernel_data(self.mano_l)
+            self.mano_r = build_kernel_data(self.mano_r)
 
         self._jit_forward = jax.jit(
             lambda p, ml, mr, img, off: forward_fn(

@@ -114,3 +114,22 @@ def smooth_two_hands(state: TwoHandFilterState, poses: jnp.ndarray,
                              detection_flag[1], smooth_coeff)
     return (TwoHandFilterState(sl, sr),
             jnp.stack([pl, pr]), jnp.stack([bl, br]))
+
+
+def smooth_sequence(state: TwoHandFilterState, poses: jnp.ndarray,
+                    betas: jnp.ndarray, detection_flag: jnp.ndarray,
+                    smooth_coeff: float = 4.0):
+    """Filter a whole frame sequence via lax.scan (offline video mode).
+
+    poses (T,2,48), betas (T,2,10), detection_flag (T,2) ->
+    (final_state, smoothed poses (T,2,48), smoothed betas (T,2,10)).
+    Exactly equals running smooth_two_hands frame by frame.
+    """
+    def step(st, inp):
+        p, b, d = inp
+        st, ps, bs = smooth_two_hands(st, p, b, d, smooth_coeff)
+        return st, (ps, bs)
+
+    state, (ps, bs) = jax.lax.scan(step, state,
+                                   (poses, betas, detection_flag))
+    return state, ps, bs

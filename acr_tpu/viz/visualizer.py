@@ -70,12 +70,44 @@ class Visualizer:
 
     # ------------------------------------------------------------------
     def render_rgba(self, out: Dict, batch_idx: int = 0) -> np.ndarray:
-        """Rasterize both hands of one image -> (S, S, 4) float RGBA."""
+        """Rasterize both hands of one image -> (S, S, 4) float RGBA.
+
+        Backend per config: 'tpu' = on-device JAX rasterizer (default);
+        'native' = host C++ z-buffer (native/acr_native.cpp), the
+        counterpart of the reference's pyrender/pytorch3d backends.
+        """
+        if self.cfg.renderer == "native":
+            return self._render_native(out, batch_idx)
         rgba = render_hands(
             out["verts"][batch_idx], out["cam_trans"][batch_idx],
             out["detection_flag"][batch_idx], self.faces,
             size=self.cfg.render_size, focal=float(self.cfg.focal_length))
         return np.asarray(rgba)
+
+    def _render_native(self, out: Dict, batch_idx: int) -> np.ndarray:
+        from acr_tpu.io.native import rasterize
+        from acr_tpu.viz.raster import PRE_COLORS
+        det = np.asarray(out["detection_flag"][batch_idx])
+        verts = (np.asarray(out["verts"][batch_idx])
+                 + np.asarray(out["cam_trans"][batch_idx])[:, None, :])
+        faces_np = np.asarray(self.faces)
+        all_verts, all_faces, all_colors = [], [], []
+        offset = 0
+        for hand in range(2):
+            if not det[hand]:
+                continue
+            all_verts.append(verts[hand])
+            all_faces.append(faces_np[hand] + offset)
+            all_colors.append(np.tile(PRE_COLORS[hand], (faces_np.shape[1], 1)))
+            offset += verts.shape[1]
+        if not all_verts:
+            return np.zeros((self.cfg.render_size, self.cfg.render_size, 4),
+                            np.float32)
+        return rasterize(np.concatenate(all_verts),
+                         np.concatenate(all_faces),
+                         np.concatenate(all_colors),
+                         size=self.cfg.render_size,
+                         focal=float(self.cfg.focal_length))
 
     def composite(self, rgba: np.ndarray, input_rgb: np.ndarray) -> np.ndarray:
         """Blend render over the (resized) network input; uint8 RGB."""
