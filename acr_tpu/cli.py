@@ -10,8 +10,24 @@ import logging
 import sys
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache (cold 512px compiles take minutes)."""
+    import os
+    import jax
+    cache = os.environ.get(
+        "ACR_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
+    _enable_compile_cache()
     from acr_tpu.config import parse_args
     from acr_tpu.utils.profiling import profile_trace
     from acr_tpu.utils.session import ConfigSession

@@ -40,6 +40,7 @@ class Config:
     vis_otherview: bool = False
     higher_resolution: bool = False
     renderer: str = "tpu"                        # tpu | native | none (reference: pyrender/pytorch3d)
+    show_items: Tuple[str, ...] = ("mesh",)      # mesh | org_img | pj2d | centermap | j3d
     render_size: int = 512
     cam_id: int = 0
     demo_mode: str = "image"                     # image | video | folder | webcam
@@ -95,7 +96,8 @@ class Config:
     # ------ TPU-native additions (no reference equivalent) ------
     mesh_axes: Tuple[str, ...] = ("data",)       # device mesh axis names
     data_parallel: int = 1                       # number of chips to shard batch over
-    use_pallas_mano: bool = True                 # fused Pallas MANO kernel (fallback: pure JAX)
+    use_pallas_mano: bool = False                # fused Pallas MANO kernel (validated; default off —
+                                                 # pure-JAX path is equally fast at demo batch sizes)
     use_pallas_raster: bool = True               # Pallas rasterizer (fallback: lax.scan)
     jit_translation_solve: bool = True           # closed-form weighted-LS on device (reference: host solvePnPRansac)
     profile_dir: Optional[str] = None            # jax.profiler trace output
@@ -203,7 +205,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                 p.add_argument(*names, dest=f.name, action="store_true",
                                default=argparse.SUPPRESS)
         elif "Tuple" in ftype:
-            p.add_argument(flag, dest=f.name, type=int, nargs="+",
+            elem = str if "str" in ftype else int
+            p.add_argument(flag, dest=f.name, type=elem, nargs="+",
                            default=argparse.SUPPRESS)
         else:
             base = float if "float" in ftype else (int if "int" in ftype else str)

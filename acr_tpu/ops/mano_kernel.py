@@ -111,19 +111,31 @@ def _fused_kernel(coef_ref, g_ref, basis_ref, wt_ref, out_ref):
 
 def fused_blend_skin(data: ManoKernelData, coef: jnp.ndarray,
                      g_rows: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """coef (B, 146), g_rows (B*12, 16) -> verts (B, 778, 3)."""
+    """coef (B, 146), g_rows (B*12, 16) -> verts (B, 778, 3).
+
+    The batch is padded to a multiple of 8 (f32 sublane tile) — small
+    batches otherwise trip Mosaic on the in-kernel (B, 12, lanes)
+    reshape/concat.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b = coef.shape[0]
+    bp = ((b + 7) // 8) * 8
+    if bp != b:
+        coef = jnp.concatenate(
+            [coef, jnp.zeros((bp - b,) + coef.shape[1:], coef.dtype)], axis=0)
+        g_rows = jnp.concatenate(
+            [g_rows, jnp.zeros(((bp - b) * 12,) + g_rows.shape[1:],
+                               g_rows.dtype)], axis=0)
     out = pl.pallas_call(
         _fused_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, 3 * V_PAD), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bp, 3 * V_PAD), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(coef, g_rows, data.basis, data.weights_t)
-    planes = out.reshape(b, 3, V_PAD)[:, :, :V_REAL]
+    planes = out.reshape(bp, 3, V_PAD)[:b, :, :V_REAL]
     return planes.transpose(0, 2, 1)               # (B, 778, 3)
 
 

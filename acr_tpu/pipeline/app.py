@@ -69,8 +69,10 @@ class ACRApp:
         with self.timer.stage("preprocess"):
             meta = img_preprocess(bgr_frame, path,
                                   input_size=self.cfg.input_size)
+        need_maps = "centermap" in self.cfg.show_items
         with self.timer.stage("device_step"):
-            out = self.pipeline(meta["image"], meta["offsets"])
+            out = self.pipeline(meta["image"], meta["offsets"],
+                                return_maps=need_maps)
             detected = np.asarray(out["detection_flag"])
 
         if not detected.any():
@@ -94,9 +96,20 @@ class ACRApp:
                 rendered = self.visualizer.render_on_frame(bgr_frame, out, meta)
             with self.timer.stage("encode"):
                 self._emit_frame(rendered, path)
+            aux_items = [i for i in self.cfg.show_items if i != "mesh"]
+            if aux_items:
+                for name, view in self.visualizer.aux_views(
+                        out, meta, aux_items).items():
+                    self._emit_frame(view[:, :, ::-1],
+                                     self._aux_path(path, name))
         else:
             self._emit_frame(bgr_frame, path)
         return results
+
+    @staticmethod
+    def _aux_path(path: str, item: str) -> str:
+        base, ext = os.path.splitext(os.path.basename(path))
+        return f"{base}_{item}{ext or '.jpg'}"
 
     def _emit_frame(self, bgr_frame: np.ndarray, path: str):
         if self.cfg.demo_mode == "webcam" or not self.cfg.save_visualization_on_img:
@@ -233,15 +246,20 @@ class ACRApp:
         return results
 
     def run_webcam(self):
+        from acr_tpu.pipeline.streaming import StreamingLoop
         cap = WebcamVideoStream(self.cfg.cam_id).start()
+
+        def show(rendered, _out):
+            self._emit_frame(rendered, "0")
+
+        loop = StreamingLoop(self, on_result=show)
         try:
-            while True:
-                frame = cap.read()
-                if frame is None:
-                    break
-                self.process_frame(frame, "0")
+            loop.run(cap)
         finally:
             cap.stop()
+            if loop.latencies:
+                log.info("webcam p50 frame latency: %.1f ms",
+                         loop.p50_latency_ms())
 
     def run(self) -> Optional[Dict]:
         mode = self.cfg.demo_mode

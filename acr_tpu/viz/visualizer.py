@@ -171,6 +171,40 @@ class Visualizer:
                           kps[i][0] + radius, kps[i][1] + radius), fill=color)
         return np.asarray(img)
 
+    def aux_views(self, out: Dict, meta: Dict,
+                  items: Sequence[str]) -> Dict[str, np.ndarray]:
+        """Auxiliary visualizations per show_items (reference:
+        acr/visualization.py:174-254 'org_img'/'pj2d'/'centermap'/'j3d').
+        Returns {item_name: uint8 RGB image}."""
+        views: Dict[str, np.ndarray] = {}
+        input_rgb = np.asarray(meta["image"][0])
+        det = np.asarray(out["detection_flag"])[0]
+        for item in items:
+            if item == "org_img":
+                views["org_img"] = input_rgb
+            elif item == "pj2d":
+                img = input_rgb.copy()
+                pj2d_px = (np.asarray(out["pj2d"])[0] + 1) / 2 * input_rgb.shape[0]
+                for hand in range(2):
+                    if det[hand]:
+                        img = self.draw_keypoints(img, pj2d_px[hand])
+                views["pj2d"] = np.asarray(img)
+            elif item == "centermap" and "l_center_map" in out:
+                l = self.make_heatmap_overlay(input_rgb,
+                                              np.asarray(out["l_center_map"])[0])
+                r = self.make_heatmap_overlay(input_rgb,
+                                              np.asarray(out["r_center_map"])[0])
+                views["centermap"] = np.concatenate([l, r], axis=1)
+            elif item == "j3d":
+                from acr_tpu.viz.skeleton3d import Plotter3dPoses
+                plotter = Plotter3dPoses(
+                    canvas_size=input_rgb.shape[:2])
+                poses = [np.asarray(out["j3d"])[0, h] for h in range(2)
+                         if det[h]]
+                colors = [(255, 0, 0), (0, 255, 255)]
+                views["j3d"] = plotter.encircle_plot(poses, colors[:len(poses)])
+        return views
+
     def make_heatmap_overlay(self, image_rgb: np.ndarray,
                              heatmap: np.ndarray) -> np.ndarray:
         """JET-colormap center-heatmap over the image (reference:
