@@ -80,6 +80,9 @@ class ACRApp:
             self._emit_frame(bgr_frame, path)
             return {path: []}
 
+        if not self.cfg.jit_translation_solve:
+            self._host_translation(out)
+
         if self.cfg.temporal_optimization:
             with self.timer.stage("smooth"):
                 self.filter_state, poses, betas = self._smooth(
@@ -105,6 +108,28 @@ class ACRApp:
         else:
             self._emit_frame(bgr_frame, path)
         return results
+
+    def _host_translation(self, out: Dict):
+        """Replace the on-device LS translation with the native host
+        RANSAC solve (the reference's solvePnPRansac robustness contract;
+        --jit_translation_solve false selects this parity mode)."""
+        from acr_tpu.io import native
+        if not native.available():
+            log.warning("native library unavailable; keeping device LS")
+            return
+        j3d = np.asarray(out["j3d"])
+        pj_px = (np.asarray(out["pj2d"]) + 1.0) * (self.cfg.input_size / 2.0)
+        half = self.cfg.input_size / 2.0
+        trans = np.zeros_like(np.asarray(out["cam_trans"]))
+        for b in range(j3d.shape[0]):
+            for hand in range(2):
+                try:
+                    trans[b, hand] = native.estimate_translation(
+                        j3d[b, hand], pj_px[b, hand],
+                        focal=float(self.cfg.focal_length), cx=half, cy=half)
+                except ValueError:
+                    trans[b, hand] = np.asarray(out["cam_trans"])[b, hand]
+        out["cam_trans"] = trans
 
     @staticmethod
     def _aux_path(path: str, item: str) -> str:

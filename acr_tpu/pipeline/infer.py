@@ -53,7 +53,9 @@ def forward_fn(net: ACRNet,
                image: jnp.ndarray,
                offsets: jnp.ndarray,
                cfg: Config,
-               return_maps: bool = False) -> Dict[str, jnp.ndarray]:
+               return_maps: bool = False,
+               merge_params: Optional[Dict[str, jnp.ndarray]] = None
+               ) -> Dict[str, jnp.ndarray]:
     """Pure function: (params, manos, uint8 image (B,S,S,3), offsets (B,10))
     -> output dict with hand axis [left, right].
     """
@@ -64,7 +66,8 @@ def forward_fn(net: ACRNet,
         prior_mode=cfg.prior_mode if cfg.inter_prior else "none",
         prior_gate_px=cfg.prior_gate_px,
         centermap_size=cfg.centermap_size,
-        input_size=cfg.input_size)
+        input_size=cfg.input_size,
+        merge_params=merge_params)
 
     align = cfg.align_idx if cfg.mano_mesh_root_align else None
     verts_l, j3d_l, _ = _apply_mano(mano_l, parsed.poses[:, 0],
@@ -138,6 +141,12 @@ class ACRPipeline:
         dtype = jnp.bfloat16 if cfg.model_precision == "bf16" else jnp.float32
         self.net = ACRNet(dtype=dtype)
         self.params = params if params is not None else load_params_npz(cfg.model_path)
+        # merge-mode cross-hand fusion head (converted from the reference's
+        # ResultParser.fusion_fc_end) is carried outside the network tree
+        self.merge_params = None
+        tree = self.params.get("params", {})
+        if "parser" in tree:
+            self.merge_params = tree.pop("parser").get("fusion_fc")
         self.mano_l, faces_l = load_mano_model(cfg.mano_model_path, "left")
         self.mano_r, faces_r = load_mano_model(cfg.mano_model_path, "right")
         self.faces = np.stack([faces_l, faces_r])      # (2, 1538, 3)
@@ -147,13 +156,32 @@ class ACRPipeline:
             self.mano_l = build_kernel_data(self.mano_l)
             self.mano_r = build_kernel_data(self.mano_r)
 
+        # optional data-parallel mesh: frame batch sharded over chips,
+        # params replicated (folder/video throughput mode)
+        self.mesh = None
+        jit_kwargs = {}
+        if cfg.data_parallel > 1:
+            from acr_tpu.parallel.mesh import (
+                batch_sharding, make_mesh, replicated_sharding)
+            self.mesh = make_mesh(cfg.data_parallel)
+            self._batch_sharding = batch_sharding(self.mesh)
+            rep = replicated_sharding(self.mesh)
+            jit_kwargs = dict(
+                in_shardings=(rep, rep, rep, self._batch_sharding,
+                              self._batch_sharding),
+                out_shardings=rep)
+
         self._jit_forward = jax.jit(
             lambda p, ml, mr, img, off: forward_fn(
-                self.net, p, ml, mr, img, off, cfg),
+                self.net, p, ml, mr, img, off, cfg,
+                merge_params=self.merge_params),
+            **jit_kwargs,
         )
         self._jit_forward_maps = jax.jit(
             lambda p, ml, mr, img, off: forward_fn(
-                self.net, p, ml, mr, img, off, cfg, return_maps=True),
+                self.net, p, ml, mr, img, off, cfg, return_maps=True,
+                merge_params=self.merge_params),
+            **jit_kwargs,
         )
         self._jit_refine = jax.jit(
             lambda poses, betas, cam, off: mano_refine_fn(
@@ -162,10 +190,18 @@ class ACRPipeline:
 
     def __call__(self, image: np.ndarray, offsets: np.ndarray,
                  return_maps: bool = False) -> Dict[str, jnp.ndarray]:
-        """image: uint8 (B, S, S, 3); offsets: float32 (B, 10)."""
+        """image: uint8 (B, S, S, 3); offsets: float32 (B, 10).
+
+        Under data_parallel > 1 the batch must divide evenly over the
+        mesh; callers pad (see app._run_batched).
+        """
+        image = jnp.asarray(image)
+        offsets = jnp.asarray(offsets)
+        if self.mesh is not None:
+            image = jax.device_put(image, self._batch_sharding)
+            offsets = jax.device_put(offsets, self._batch_sharding)
         fn = self._jit_forward_maps if return_maps else self._jit_forward
-        return fn(self.params, self.mano_l, self.mano_r,
-                  jnp.asarray(image), jnp.asarray(offsets))
+        return fn(self.params, self.mano_l, self.mano_r, image, offsets)
 
     def refine(self, poses, betas, cam, offsets) -> Dict[str, jnp.ndarray]:
         return self._jit_refine(jnp.asarray(poses), jnp.asarray(betas),

@@ -136,6 +136,19 @@ def main(argv=None):
     paths = enumerate_flax_paths()
     flat, used, missing = convert_state_dict(torch_sd, paths)
 
+    # merge-mode cross-hand fusion head lives on the reference's
+    # ResultParser (acr/result_parser.py:17-18); carried through so
+    # prior_mode='merge' checkpoints work even though the demo config
+    # never enables it.
+    for tkey, name, transform in (
+            ("_result_parser.fusion_fc_end.weight", "parser/fusion_fc/kernel",
+             lambda w: np.transpose(w, (1, 0))),
+            ("_result_parser.fusion_fc_end.bias", "parser/fusion_fc/bias",
+             lambda w: w)):
+        if tkey in torch_sd:
+            flat[name] = transform(torch_sd[tkey])
+            used.add(tkey)
+
     unused = sorted(set(torch_sd) - used)
     print(f"converted {len(flat)}/{len(paths)} params")
     if missing:
