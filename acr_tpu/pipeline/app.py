@@ -70,11 +70,27 @@ class ACRApp:
             meta = img_preprocess(bgr_frame, path,
                                   input_size=self.cfg.input_size)
         need_maps = "centermap" in self.cfg.show_items
+
+        # Dispatch EVERYTHING device-side first (forward, smoothing,
+        # refine, render), then read back once: device->host syncs are
+        # the latency floor (60ms each through a relayed transport).
         with self.timer.stage("device_step"):
             out = self.pipeline(meta["image"], meta["offsets"],
                                 return_maps=need_maps)
-            detected = np.asarray(out["detection_flag"])
+            if self.cfg.temporal_optimization:
+                # per-hand gating by detection flag happens on device
+                self.filter_state, poses, betas = self._smooth(
+                    self.filter_state, out["poses"][0], out["betas"][0],
+                    out["detection_flag"][0])
+                out["poses"] = poses[None]
+                out["betas"] = betas[None]
+                out.update(self.pipeline.refine(out["poses"], out["betas"],
+                                                out["cam"], meta["offsets"]))
+            if self.visualizer is not None and self.cfg.renderer == "tpu":
+                out["_rgba"] = self.visualizer.render_rgba_device(out)
+            out = jax.device_get(out)          # ONE batched readback
 
+        detected = np.asarray(out["detection_flag"])
         if not detected.any():
             log.info("no hand detected: %s", path)
             self._emit_frame(bgr_frame, path)
@@ -83,20 +99,15 @@ class ACRApp:
         if not self.cfg.jit_translation_solve:
             self._host_translation(out)
 
-        if self.cfg.temporal_optimization:
-            with self.timer.stage("smooth"):
-                self.filter_state, poses, betas = self._smooth(
-                    self.filter_state, out["poses"][0], out["betas"][0],
-                    out["detection_flag"][0])
-                out["poses"] = poses[None]
-                out["betas"] = betas[None]
-                out.update(self.pipeline.refine(out["poses"], out["betas"],
-                                                out["cam"], meta["offsets"]))
-
         results = reorganize_results(out, [path])
         if self.visualizer is not None:
             with self.timer.stage("render"):
-                rendered = self.visualizer.render_on_frame(bgr_frame, out, meta)
+                if "_rgba" in out:
+                    rendered = self.visualizer.compose_on_frame(
+                        out["_rgba"], bgr_frame, meta)
+                else:
+                    rendered = self.visualizer.render_on_frame(
+                        bgr_frame, out, meta)
             with self.timer.stage("encode"):
                 self._emit_frame(rendered, path)
             aux_items = [i for i in self.cfg.show_items if i != "mesh"]
@@ -157,6 +168,8 @@ class ACRApp:
             "./demos_outputs/single_images_output/"
         import cv2
         image = cv2.imread(imgpath)
+        if image is None:
+            raise ValueError(f"could not decode image: {imgpath}")
         results = self.process_frame(image, imgpath)
         if self.cfg.save_dict_results:
             save_results(imgpath, self.output_dir, results)
@@ -180,7 +193,11 @@ class ACRApp:
             results = self._run_batched(file_list)
         else:
             for imgpath in file_list:
-                results.update(self.process_frame(cv2.imread(imgpath), imgpath))
+                frame = cv2.imread(imgpath)
+                if frame is None:
+                    log.warning("skipping unreadable image: %s", imgpath)
+                    continue
+                results.update(self.process_frame(frame, imgpath))
         dt = time.time() - t0
         if file_list:
             log.info("%d frames in %.2fs (%.2f FPS)",

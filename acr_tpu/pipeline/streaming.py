@@ -87,6 +87,8 @@ class StreamingLoop:
                 out["poses"], out["betas"] = poses[None], betas[None]
                 out.update(app.pipeline.refine(
                     out["poses"], out["betas"], out["cam"], meta["offsets"]))
+            if app.visualizer is not None and cfg.renderer == "tpu":
+                out["_rgba"] = app.visualizer.render_rgba_device(out)
 
             if inflight is not None:
                 self._finish(*inflight)
@@ -97,13 +99,17 @@ class StreamingLoop:
         return count
 
     def _finish(self, t0, frame, meta, out):
-        """Block on the device result, render/deliver, record latency."""
+        """Single batched readback, then host render/deliver + latency."""
         import jax
-        jax.block_until_ready(out["verts"])
+        out = jax.device_get(out)          # one round trip for everything
         detected = np.asarray(out["detection_flag"])
         rendered = frame
         if detected.any() and self.app.visualizer is not None:
-            rendered = self.app.visualizer.render_on_frame(frame, out, meta)
+            if "_rgba" in out:
+                rendered = self.app.visualizer.compose_on_frame(
+                    out["_rgba"], frame, meta)
+            else:
+                rendered = self.app.visualizer.render_on_frame(frame, out, meta)
         dt = (time.perf_counter() - t0) * 1000.0
         self.latency.update(dt)
         self.latencies.append(dt)

@@ -142,15 +142,32 @@ class Visualizer:
         org[ct:ih - cb, cl:iw - cr] = resized[pt:ph - pb, pl:pw - pr]
         return org
 
+    def render_rgba_device(self, out: Dict, batch_idx: int = 0):
+        """Dispatch the on-device render WITHOUT synchronizing.
+
+        Returns the device array so callers can batch the readback with
+        the rest of the frame's outputs (one host<->device round trip
+        per frame instead of one per array).
+        """
+        return render_hands(
+            out["verts"][batch_idx], out["cam_trans"][batch_idx],
+            out["detection_flag"][batch_idx], self.faces,
+            size=self.cfg.render_size, focal=float(self.cfg.focal_length))
+
+    def compose_on_frame(self, rgba: np.ndarray, bgr_frame: np.ndarray,
+                         meta: Dict) -> np.ndarray:
+        """Host-side compositing + paste-back; returns BGR."""
+        input_rgb = np.asarray(meta["image"][0])
+        blended = self.composite(np.asarray(rgba), input_rgb)
+        pasted = self.paste_back(blended, bgr_frame[:, :, ::-1],
+                                 meta["offsets"][0])
+        return pasted[:, :, ::-1]
+
     def render_on_frame(self, bgr_frame: np.ndarray, out: Dict,
                         meta: Dict) -> np.ndarray:
         """Full mesh-over-frame path; returns BGR for cv2.imwrite."""
         rgba = self.render_rgba(out)
-        input_rgb = np.asarray(meta["image"][0])
-        blended = self.composite(rgba, input_rgb)
-        pasted = self.paste_back(blended, bgr_frame[:, :, ::-1],
-                                 meta["offsets"][0])
-        return pasted[:, :, ::-1]
+        return self.compose_on_frame(rgba, bgr_frame, meta)
 
     # ------------------------------------------------------------------
     def draw_keypoints(self, image_rgb: np.ndarray, kp2d: np.ndarray,

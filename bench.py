@@ -38,8 +38,11 @@ def main():
     import __graft_entry__ as ge
 
     ge._ensure_assets()
-    precision = os.environ.get("ACR_BENCH_PRECISION", "fp32")
-    batch = int(os.environ.get("ACR_BENCH_BATCH", "1"))
+    # defaults = the per-chip throughput sweet spot (BASELINE.md's metric
+    # is ">60 FPS per chip"); ACR_BENCH_PRECISION=fp32 ACR_BENCH_BATCH=1
+    # measures the latency/demo-default config (see docs/PERFORMANCE.md)
+    precision = os.environ.get("ACR_BENCH_PRECISION", "bf16")
+    batch = int(os.environ.get("ACR_BENCH_BATCH", "8"))
     fn, cfg = ge._build(512, precision=precision)
 
     image = np.random.RandomState(0).randint(
