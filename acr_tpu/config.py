@@ -160,6 +160,8 @@ def make_config(yaml_path: Optional[str] = None,
     extras: Dict[str, Any] = {}
 
     yml = cli_overrides.get("configs_yml", yaml_path)
+    if yml is None:
+        yml = Config.configs_yml          # default demo.yml, like the reference
     if yml and os.path.exists(yml):
         for key, value in load_yaml_overrides(yml).items():
             if key in cli_overrides:   # CLI beats YAML

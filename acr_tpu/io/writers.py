@@ -49,12 +49,25 @@ def split_frame(videopath: str, out_dir: Optional[str] = None) -> str:
     return path
 
 
+_AUX_SUFFIXES = ("_centermap", "_pj2d", "_j3d", "_org_img")
+
+
+def _frame_sort_key(name: str):
+    """ints-first stable sort that never mixes int/str comparisons."""
+    stem = name.split(".")[0]
+    return (0, int(stem), "") if stem.isdigit() else (1, 0, name)
+
+
 def save_video(frames_dir: str, out_name: str, fps: int = 30) -> str:
-    """Re-encode a directory of frames to mp4 (reference: utils.py:1432-1448)."""
+    """Re-encode a directory of frames to mp4 (reference: utils.py:1432-1448).
+
+    Auxiliary view frames (*_centermap etc.) and non-images are excluded.
+    """
     import cv2
-    names = sorted(os.listdir(frames_dir),
-                   key=lambda x: int(x.split(".")[0]) if x.split(".")[0].isdigit() else x)
-    names = [n for n in names if n.lower().endswith(IMG_EXTS)]
+    names = [n for n in os.listdir(frames_dir)
+             if n.lower().endswith(IMG_EXTS)
+             and not any(n.split(".")[0].endswith(s) for s in _AUX_SUFFIXES)]
+    names = sorted(names, key=_frame_sort_key)
     if not names:
         raise ValueError(f"no frames in {frames_dir}")
     first = cv2.imread(os.path.join(frames_dir, names[0]))

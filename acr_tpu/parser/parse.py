@@ -88,7 +88,6 @@ def parse_outputs(outputs: Dict[str, jnp.ndarray],
                   prior_mode: str = "cross",
                   prior_gate_px: float = 32.0,
                   centermap_size: int = 64,
-                  input_size: int = 512,
                   merge_params: Optional[Dict[str, jnp.ndarray]] = None,
                   ) -> ParsedHands:
     """Decode network output maps into per-hand parameters.

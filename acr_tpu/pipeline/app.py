@@ -149,10 +149,18 @@ class ACRApp:
 
     def _emit_frame(self, bgr_frame: np.ndarray, path: str):
         if self.cfg.demo_mode == "webcam" or not self.cfg.save_visualization_on_img:
-            if self.cfg.interactive_vis:
-                import cv2
-                cv2.imshow("acr_tpu", bgr_frame)
-                cv2.waitKey(1)
+            # webcam mode displays every frame like the reference
+            # (acr/main.py:110-111); headless hosts degrade gracefully
+            if self.cfg.demo_mode == "webcam" or self.cfg.interactive_vis:
+                try:
+                    import cv2
+                    cv2.imshow("acr_tpu", bgr_frame)
+                    cv2.waitKey(1)
+                except Exception as exc:           # headless: no display
+                    if not getattr(self, "_imshow_warned", False):
+                        log.warning("cv2.imshow unavailable (%s); "
+                                    "frames not displayed", exc)
+                        self._imshow_warned = True
             return
         os.makedirs(self.output_dir, exist_ok=True)
         import cv2
@@ -177,6 +185,8 @@ class ACRApp:
 
     def run_folder(self) -> Dict:
         inputs = self.cfg.inputs
+        if not inputs or not os.path.exists(inputs):
+            raise FileNotFoundError(f"--inputs not found: {inputs}")
         if os.path.isdir(inputs):
             image_folder = inputs.rstrip("/")
         else:
@@ -220,25 +230,32 @@ class ACRApp:
         whole-sequence OneEuro via lax.scan, then per-frame rendering.
 
         One compilation serves every chunk (the last one is padded by
-        repeating its final frame and trimmed after).
+        repeating its final frame and trimmed after). Memory stays
+        bounded on long videos: frames are decoded chunk by chunk and
+        re-decoded for rendering; only the small per-frame outputs
+        (poses/betas/cam/offsets/...) persist for the whole sequence.
         """
         import cv2
         bs = self.cfg.val_batch_size
-        frames, metas = [], []
-        with self.timer.stage("preprocess"):
-            for p in file_list:
-                f = cv2.imread(p)
-                frames.append(f)
-                metas.append(img_preprocess(f, p,
-                                            input_size=self.cfg.input_size))
-        images = np.concatenate([m["image"] for m in metas])
-        offsets = np.concatenate([m["offsets"] for m in metas])
-        total = len(file_list)
 
-        chunks = []
+        def read_frame(path):
+            frame = cv2.imread(path)
+            if frame is None:
+                log.warning("unreadable image, substituting black: %s", path)
+                frame = np.zeros((64, 64, 3), np.uint8)
+            return frame
+
+        total = len(file_list)
+        chunks, offsets_all = [], []
         with self.timer.stage("device_step"):
             for i in range(0, total, bs):
-                img_c, off_c = images[i:i + bs], offsets[i:i + bs]
+                batch_paths = file_list[i:i + bs]
+                with self.timer.stage("preprocess"):
+                    metas = [img_preprocess(read_frame(p), p,
+                                            input_size=self.cfg.input_size)
+                             for p in batch_paths]
+                img_c = np.concatenate([m["image"] for m in metas])
+                off_c = np.concatenate([m["offsets"] for m in metas])
                 pad = bs - len(img_c)
                 if pad:
                     img_c = np.concatenate(
@@ -247,8 +264,11 @@ class ACRApp:
                         [off_c, np.repeat(off_c[-1:], pad, axis=0)])
                 o = self.pipeline(img_c, off_c)
                 keep = bs - pad
-                chunks.append({k: np.asarray(v)[:keep] for k, v in o.items()})
+                offsets_all.append(off_c[:keep])
+                chunks.append(jax.tree.map(
+                    lambda v: np.asarray(v)[:keep], jax.device_get(o)))
         out = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
+        offsets = np.concatenate(offsets_all)
 
         if self.cfg.temporal_optimization:
             with self.timer.stage("smooth"):
@@ -268,23 +288,27 @@ class ACRApp:
                     ref = self.pipeline.refine(
                         padded(out["poses"]), padded(out["betas"]),
                         padded(out["cam"]), padded(offsets))
-                    for k, v in ref.items():
+                    for k, v in jax.device_get(ref).items():
                         out[k][sl] = np.asarray(v)[:sl.stop - sl.start]
+
+        if not self.cfg.jit_translation_solve:
+            self._host_translation(out)
 
         results = reorganize_results(out, file_list)
         for i, path in enumerate(file_list):
+            frame = read_frame(path)
             if not np.asarray(out["detection_flag"][i]).any():
-                self._emit_frame(frames[i], path)
+                self._emit_frame(frame, path)
                 continue
             if self.visualizer is not None:
                 one = {k: v[i:i + 1] for k, v in out.items()}
+                meta = img_preprocess(frame, path,
+                                      input_size=self.cfg.input_size)
                 with self.timer.stage("render"):
-                    rendered = self.visualizer.render_on_frame(
-                        frames[i], one, {"image": metas[i]["image"],
-                                         "offsets": metas[i]["offsets"]})
+                    rendered = self.visualizer.render_on_frame(frame, one, meta)
                 self._emit_frame(rendered, path)
             else:
-                self._emit_frame(frames[i], path)
+                self._emit_frame(frame, path)
         return results
 
     def run_webcam(self):

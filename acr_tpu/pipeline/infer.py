@@ -66,7 +66,6 @@ def forward_fn(net: ACRNet,
         prior_mode=cfg.prior_mode if cfg.inter_prior else "none",
         prior_gate_px=cfg.prior_gate_px,
         centermap_size=cfg.centermap_size,
-        input_size=cfg.input_size,
         merge_params=merge_params)
 
     align = cfg.align_idx if cfg.mano_mesh_root_align else None
