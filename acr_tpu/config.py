@@ -98,7 +98,6 @@ class Config:
     data_parallel: int = 1                       # number of chips to shard batch over
     use_pallas_mano: bool = False                # fused Pallas MANO kernel (validated; default off —
                                                  # pure-JAX path is equally fast at demo batch sizes)
-    use_pallas_raster: bool = True               # Pallas rasterizer (fallback: lax.scan)
     jit_translation_solve: bool = True           # closed-form weighted-LS on device (reference: host solvePnPRansac)
     profile_dir: Optional[str] = None            # jax.profiler trace output
 
@@ -218,5 +217,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def parse_args(argv: Optional[List[str]] = None) -> Config:
-    ns = build_arg_parser().parse_args(argv)
+    """Parse CLI args; unknown flags are warned about and ignored so
+    reference-era invocations (train/eval/aug flags, jupyter's -f)
+    remain drop-in compatible."""
+    ns, unknown = build_arg_parser().parse_known_args(argv)
+    if unknown:
+        import logging
+        logging.getLogger("acr_tpu").warning(
+            "ignoring unknown flags: %s", unknown)
     return make_config(cli_overrides=vars(ns))
