@@ -1,0 +1,198 @@
+"""FULL-MODEL activation parity against the actual reference network.
+
+Builds the reference torch model from /root/reference (runtime study —
+no code copied), converts its randomly-initialized state_dict with our
+checkpoint converter, loads it into the flax ACRNet, and compares every
+output map of a 512px forward pass. Passing means ANY checkpoint for
+the reference architecture converts correctly — the strongest parity
+statement available without the license-gated weights.
+
+Skipped when the reference tree is absent. Slow (~minutes, CPU).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                                reason="reference tree unavailable")
+
+
+@pytest.fixture(scope="module")
+def ref_model():
+    # stub native-backed deps the reference imports at module scope
+    for name in ("imgaug", "imgaug.augmenters", "h5py", "chumpy"):
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                sys.modules[name] = types.ModuleType(name)
+    aug = sys.modules["imgaug.augmenters"]
+    for attr in ("Sequential", "Crop", "Pad"):
+        if not hasattr(aug, attr):
+            setattr(aug, attr, lambda *a, **k: None)
+    if not hasattr(aug, "compute_paddings_to_reach_aspect_ratio"):
+        aug.compute_paddings_to_reach_aspect_ratio = lambda *a, **k: (0, 0, 0, 0)
+    if hasattr(sys.modules["imgaug"], "augmenters") is False:
+        sys.modules["imgaug"].augmenters = aug
+
+    argv_backup = sys.argv
+    sys.argv = ["prog"]
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    try:
+        import torch
+        torch.manual_seed(0)
+        from acr.model import ACR as RefACR
+        model = RefACR().eval()
+    finally:
+        sys.argv = argv_backup
+    return model
+
+
+def test_every_converter_key_exists_in_reference(ref_model):
+    from acr_tpu.io.torch_names import map_flax_path
+    from tools.convert_checkpoint import enumerate_flax_paths
+
+    ref_keys = set(ref_model.state_dict().keys())
+    suffixes = {
+        "conv_kernel": [".weight"], "conv_bias": [".bias"],
+        "dense_kernel": [".weight"], "dense_bias": [".bias"],
+        "lc_weight": [".weight"],
+        "bn": [".weight", ".bias", ".running_mean", ".running_var"],
+    }
+    for path in enumerate_flax_paths():
+        base, kind = map_flax_path(tuple(path))
+        for suf in suffixes[kind]:
+            assert base + suf in ref_keys, f"{path} -> {base + suf}"
+
+
+def test_full_model_activation_parity(ref_model, rng):
+    import torch
+    from tools.convert_checkpoint import convert_state_dict, enumerate_flax_paths
+    from acr_tpu.io.params import unflatten_params
+    from acr_tpu.models.acr import ACRNet
+    import jax.numpy as jnp
+
+    ref_sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    paths = enumerate_flax_paths()
+    flat, used, missing = convert_state_dict(ref_sd, paths)
+    assert not missing
+    params = unflatten_params(flat)
+
+    img = (rng.rand(1, 512, 512, 3) * 255).astype(np.uint8)
+    with torch.no_grad():
+        feats = ref_model.backbone(torch.from_numpy(img))
+        ref_out = ref_model.head_forward(feats)
+
+    ours = ACRNet().apply(params, jnp.asarray(img))
+
+    def to_nhwc(t):
+        return t.detach().numpy().transpose(0, 2, 3, 1)
+
+    for key, tol in (("l_params_maps", 2e-3), ("r_params_maps", 2e-3),
+                     ("l_center_map", 2e-3), ("r_center_map", 2e-3),
+                     ("l_prior_maps", 2e-3), ("r_prior_maps", 2e-3),
+                     ("segms", 2e-3)):
+        want = to_nhwc(ref_out[key if key != "segms" else "segms"])
+        got = np.asarray(ours[key])
+        assert got.shape == want.shape, key
+        scale = max(1.0, np.abs(want).max())
+        err = np.abs(got - want).max() / scale
+        assert err < tol, f"{key}: rel err {err:.2e} (max |ref| {np.abs(want).max():.3f})"
+
+
+def test_parser_parity_on_identical_maps(ref_model, rng):
+    """Feed IDENTICAL maps through the reference ResultParser and our
+    parse_outputs; sampled params, decoded poses, and flags must match.
+    The reference parser hard-codes .cuda() (acr/result_parser.py:36,
+    108-120,167-179); those are patched to no-ops for CPU execution."""
+    import torch
+    import jax.numpy as jnp
+    from acr_tpu.parser.parse import parse_outputs
+
+    # synthetic maps with two clear detections
+    maps = {}
+    size = 64
+    for side in "lr":
+        cm = np.zeros((1, 1, size, size), np.float32)
+        y, x = (20, 24) if side == "l" else (22, 28)
+        cm[0, 0, y, x] = 0.9
+        maps[f"{side}_center_map"] = cm
+        maps[f"{side}_params_maps"] = rng.randn(1, 109, size, size).astype(np.float32)
+        maps[f"{side}_prior_maps"] = rng.randn(1, 106, size, size).astype(np.float32)
+
+    # ---- reference parser (cuda patched out) ----
+    cuda_backup = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        outputs = {k: torch.from_numpy(v) for k, v in maps.items()}
+        meta = {"batch_ids": torch.arange(1)}
+        ref_out, _ = ref_model._result_parser.parse(outputs, meta, {})
+    finally:
+        torch.Tensor.cuda = cuda_backup
+
+    # ---- ours, NHWC ----
+    ours = parse_outputs(
+        {k: jnp.asarray(v.transpose(0, 2, 3, 1)) for k, v in maps.items()})
+
+    ref_params = ref_out["params_pred"].numpy()        # (2, 109) [l, r]
+    got_params = np.asarray(ours.params[0])            # (2, 109) [l, r]
+    np.testing.assert_allclose(got_params, ref_params, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours.poses[0]),
+                               ref_out["params_dict"]["poses"].numpy(),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours.betas[0]),
+                               ref_out["params_dict"]["betas"].numpy(),
+                               atol=1e-5)
+    assert np.asarray(ours.detection_flag[0]).tolist() == \
+        ref_out["detection_flag"].numpy().astype(bool).tolist()
+    # centers: reference emits (x, y) map coords per hand
+    np.testing.assert_allclose(np.asarray(ours.centers[0, 0]),
+                               ref_out["l_centers_pred"].numpy()[0], atol=0)
+    np.testing.assert_allclose(np.asarray(ours.centers[0, 1]),
+                               ref_out["r_centers_pred"].numpy()[0], atol=0)
+
+
+def test_projection_parity_vs_reference_utils(ref_model, rng):
+    """Weak-persp projection, original-image mapping, and the WLS
+    translation solve vs the reference's own implementations."""
+    import torch
+    import jax.numpy as jnp
+    from acr.utils import (batch_orth_proj, convert_kp2d_from_input_to_orgimg,
+                           estimate_translation_np)
+    from acr_tpu.pipeline.project import (
+        estimate_translation_ls, kp2d_to_org_image, weak_persp_project)
+
+    pts = rng.randn(2, 21, 3).astype(np.float32)
+    cam = rng.randn(2, 3).astype(np.float32)
+    want = batch_orth_proj(torch.from_numpy(pts), torch.from_numpy(cam)).numpy()
+    got = np.asarray(weak_persp_project(jnp.asarray(pts), jnp.asarray(cam)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    offsets = np.array([[300, 300, 0, 0, 0, 0, 10, 0, 30, 0]], np.float32)
+    kp = rng.rand(1, 21, 2).astype(np.float32) * 2 - 1
+    want2 = convert_kp2d_from_input_to_orgimg(
+        torch.from_numpy(kp), torch.from_numpy(offsets)).numpy()
+    got2 = np.asarray(kp2d_to_org_image(jnp.asarray(kp), jnp.asarray(offsets)))
+    np.testing.assert_allclose(got2, want2, atol=1e-5)
+
+    # translation: exact pinhole correspondences, conf = 1 everywhere
+    j3d = rng.randn(21, 3).astype(np.float64) * 0.08
+    t = np.array([0.1, -0.15, 2.2])
+    f = 1265.0
+    p = j3d + t
+    uv = np.stack([f * p[:, 0] / p[:, 2] + 256,
+                   f * p[:, 1] / p[:, 2] + 256], 1)
+    want3 = estimate_translation_np(j3d, uv, np.ones(21), focal_length=f,
+                                    img_size=np.array([512, 512]))
+    got3 = np.asarray(estimate_translation_ls(
+        jnp.asarray(j3d[None].astype(np.float32)),
+        jnp.asarray(uv[None].astype(np.float32)), focal=f))[0]
+    np.testing.assert_allclose(got3, want3, atol=1e-2)
+    np.testing.assert_allclose(got3, t, atol=1e-2)
