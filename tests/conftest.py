@@ -25,6 +25,8 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture(scope="module")
 def rng():
+    # module-scoped: each test module gets a fresh deterministic stream,
+    # so adding tests in one module can't shift another module's data
     return np.random.RandomState(0)

@@ -196,3 +196,155 @@ def test_projection_parity_vs_reference_utils(ref_model, rng):
         jnp.asarray(uv[None].astype(np.float32)), focal=f))[0]
     np.testing.assert_allclose(got3, want3, atol=1e-2)
     np.testing.assert_allclose(got3, t, atol=1e-2)
+
+
+def test_rotation_math_parity_vs_reference(ref_model, rng):
+    """axis-angle->rotmat (incl. the +1e-8 guard), 6D->axis-angle, and
+    rotmat->axis-angle vs the reference's own functions."""
+    import sys, types
+    import torch
+    import jax.numpy as jnp
+    if not hasattr(sys.modules.get("chumpy", None), "Ch"):
+        sys.modules.setdefault("chumpy", types.ModuleType("chumpy")).Ch = object
+    from mano.manolayer import batch_rodrigues as ref_rodrigues
+    from acr.utils import rot6D_to_angular, rotation_matrix_to_angle_axis
+    from acr_tpu.ops.rotations import (
+        axis_angle_to_rotmat, rot6d_to_axis_angle, rotmat_to_axis_angle)
+
+    aa = (rng.randn(32, 3) * 1.2).astype(np.float32)
+    want = ref_rodrigues(torch.from_numpy(aa)).numpy().reshape(-1, 3, 3)
+    got = np.asarray(axis_angle_to_rotmat(jnp.asarray(aa)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # near-zero guard must degrade identically
+    tiny = (rng.randn(4, 3) * 1e-8).astype(np.float32)
+    want_t = ref_rodrigues(torch.from_numpy(tiny)).numpy().reshape(-1, 3, 3)
+    got_t = np.asarray(axis_angle_to_rotmat(jnp.asarray(tiny)))
+    np.testing.assert_allclose(got_t, want_t, atol=1e-6)
+
+    six = rng.randn(8, 15 * 6).astype(np.float32)
+    want6 = rot6D_to_angular(torch.from_numpy(six)).numpy()
+    got6 = np.asarray(rot6d_to_axis_angle(jnp.asarray(six)))
+    np.testing.assert_allclose(got6, want6, atol=1e-4)
+
+    mats = want[:8]
+    want_aa = rotation_matrix_to_angle_axis(
+        torch.from_numpy(mats)).numpy()
+    got_aa = np.asarray(rotmat_to_axis_angle(jnp.asarray(mats)))
+    np.testing.assert_allclose(got_aa, want_aa, atol=1e-4)
+
+
+def test_mano_layer_parity_vs_reference(ref_model, rng, tmp_path):
+    """Reference torch ManoLayer vs our mano_forward on IDENTICAL
+    synthetic assets (a functional chumpy stub powers the reference's
+    pkl loader: .r arrays, dot, MatVecMult, vstack)."""
+    import pickle
+    import sys, types
+    import torch
+    import jax.numpy as jnp
+
+    # ---- minimal functional chumpy ----
+    class _ChArray(np.ndarray):
+        dterms = ("x",)
+
+        @property
+        def r(self):
+            return np.asarray(self)
+
+        def dot(self, other):
+            return np.asarray(self) @ np.asarray(other)
+
+    def _as_ch(a):
+        return np.asarray(a, np.float64).view(_ChArray)
+
+    ch = types.ModuleType("chumpy")
+    ch.Ch = object
+    ch.array = _as_ch
+    ch.eye = lambda n: _as_ch(np.eye(n))
+    ch.vstack = lambda arrs: _as_ch(np.vstack([np.asarray(a) for a in arrs]))
+    ch.concatenate = lambda arrs: _as_ch(np.concatenate(
+        [np.asarray(a) for a in arrs]))
+    ch_ch = types.ModuleType("chumpy.ch")
+    ch_ch.MatVecMult = lambda m, v: _as_ch(
+        np.asarray(m.todense() if hasattr(m, "todense") else m) @ np.asarray(v))
+    ch.ch = ch_ch
+    sys.modules["chumpy"] = ch
+    sys.modules["chumpy.ch"] = ch_ch
+
+    # reload manolayer under the functional stub
+    for mod in list(sys.modules):
+        if mod == "mano.manolayer" or mod == "mano":
+            del sys.modules[mod]
+    import cv2
+    import mano.manolayer as ref_manolayer
+    # the reference's numpy lrotmin path references cv2 without importing
+    # it (mano/manolayer.py:336) — reachable only under our stub
+    ref_manolayer.cv2 = cv2
+    RefManoLayer = ref_manolayer.ManoLayer
+
+    # synthetic assets shared by both implementations
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.make_synthetic_mano import make_assets
+    from tests.test_mano import _model_from_assets
+    from acr_tpu.models.mano import mano_forward
+
+    assets = make_assets("right", seed=0)
+    import scipy.sparse as sp
+    pkl = {
+        "v_template": assets["v_template"].astype(np.float64),
+        "shapedirs": assets["shapedirs"].astype(np.float64),
+        "posedirs": assets["posedirs"].astype(np.float64),
+        "J_regressor": sp.csc_matrix(assets["J_regressor"].astype(np.float64)),
+        "weights": assets["weights"].astype(np.float64),
+        "f": assets["faces"].astype(np.uint32),
+        "hands_mean": assets["hands_mean"].astype(np.float64),
+        "hands_components": assets["hands_components"].astype(np.float64),
+        "kintree_table": assets["kintree_table"],
+        "bs_type": "lrotmin",
+        "bs_style": "lbs",
+    }
+    mano_dir = tmp_path / "mano"
+    mano_dir.mkdir()
+    with open(mano_dir / "MANO_RIGHT.pkl", "wb") as f:
+        pickle.dump(pkl, f)
+
+    ref_layer = RefManoLayer(center_idx=9, flat_hand_mean=False, ncomps=45,
+                             side="right", mano_root=str(mano_dir),
+                             use_pca=False)
+    ours = _model_from_assets(assets, "right")
+
+    poses = (rng.randn(3, 48) * 0.5).astype(np.float32)
+    betas = (rng.randn(3, 10) * 0.8).astype(np.float32)
+    with torch.no_grad():
+        want_v, want_j, _ = ref_layer(torch.from_numpy(poses),
+                                      th_betas=torch.from_numpy(betas))
+    got_v, got_j, _ = mano_forward(ours, jnp.asarray(poses), jnp.asarray(betas))
+    np.testing.assert_allclose(np.asarray(got_v), want_v.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_j), want_j.numpy(), atol=2e-5)
+
+
+def test_oneeuro_parity_vs_reference(ref_model, rng):
+    """Functional OneEuro vs the reference's stateful filter classes,
+    including the rotation-matrix-space global-orient smoothing."""
+    import torch
+    import jax.numpy as jnp
+    from acr.utils import create_OneEuroFilter, smooth_results
+    from acr_tpu.pipeline.temporal import init_hand_filter, smooth_hand
+
+    filters = create_OneEuroFilter(4.0)
+    state = init_hand_filter()
+    detected = jnp.asarray(True)
+    for step in range(6):
+        poses = (rng.randn(48) * 0.3).astype(np.float32)
+        betas = (rng.randn(10) * 0.5).astype(np.float32)
+        want_p, want_b = smooth_results(filters,
+                                        torch.from_numpy(poses.copy()),
+                                        torch.from_numpy(betas.copy()))
+        state, got_p, got_b = smooth_hand(state, jnp.asarray(poses),
+                                          jnp.asarray(betas), detected, 4.0)
+        np.testing.assert_allclose(np.asarray(got_b), want_b.numpy(),
+                                   atol=1e-5, err_msg=f"betas step {step}")
+        np.testing.assert_allclose(np.asarray(got_p)[3:], want_p.numpy()[3:],
+                                   atol=1e-5, err_msg=f"pose step {step}")
+        np.testing.assert_allclose(np.asarray(got_p)[:3], want_p.numpy()[:3],
+                                   atol=1e-4, err_msg=f"orient step {step}")
