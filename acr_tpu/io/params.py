@@ -51,3 +51,26 @@ def save_params_npz(path: str, params: Dict[str, Any]) -> None:
 def load_params_npz(path: str) -> Dict[str, Any]:
     with np.load(path) as data:
         return unflatten_params({k: data[k] for k in data.files})
+
+
+def save_params_orbax(path: str, params: Dict[str, Any]) -> None:
+    """Persist the params pytree as an orbax checkpoint directory."""
+    import os
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), params)
+
+
+def load_params_orbax(path: str) -> Dict[str, Any]:
+    import os
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+def load_params(path: str) -> Dict[str, Any]:
+    """Load a checkpoint by format: .npz file or orbax directory."""
+    import os
+    if os.path.isdir(path):
+        return load_params_orbax(path)
+    return load_params_npz(path)

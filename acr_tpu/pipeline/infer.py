@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from acr_tpu.config import Config
-from acr_tpu.io.params import load_params_npz
+from acr_tpu.io.params import load_params
 from acr_tpu.models.acr import ACRNet
 from acr_tpu.models.mano import ManoModel, load_mano_model, mano_forward
 from acr_tpu.ops.mano_kernel import (
@@ -139,7 +139,7 @@ class ACRPipeline:
         self.cfg = cfg
         dtype = jnp.bfloat16 if cfg.model_precision == "bf16" else jnp.float32
         self.net = ACRNet(dtype=dtype)
-        self.params = params if params is not None else load_params_npz(cfg.model_path)
+        self.params = params if params is not None else load_params(cfg.model_path)
         # merge-mode cross-hand fusion head (converted from the reference's
         # ResultParser.fusion_fc_end) is carried outside the network tree
         self.merge_params = None
