@@ -12,7 +12,11 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".tif", ".tiff")
+# the reference's 21-extension list (acr/utils.py:31-32), lowercased —
+# matching is case-insensitive here
+IMG_EXTS = (".bmp", ".dib", ".jpg", ".jpeg", ".jpe", ".png", ".webp",
+            ".pbm", ".pgm", ".ppm", ".pxm", ".pnm", ".tiff", ".tif",
+            ".sr", ".ras", ".exr", ".hdr", ".pic")
 
 
 def collect_image_list(image_folder: str) -> List[str]:

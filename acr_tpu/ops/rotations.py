@@ -149,6 +149,39 @@ def rotmat_to_axis_angle(rotmat: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.isnan(aa), 0.0, aa)
 
 
+def transform_rot_representation(rot, input_type: str = "mat",
+                                 out_type: str = "vec"):
+    """Host-side conversion between rotation representations via scipy.
+
+    Types: 'mat' (3x3), 'quat' (xyzw), 'vec' (rotation vector), 'euler'
+    (xyz; degrees in, radians out — reference: acr/utils.py:521-549).
+    """
+    from scipy.spatial.transform import Rotation as R
+    import numpy as np
+    rot = np.asarray(rot)
+    if input_type == "mat":
+        r = R.from_matrix(rot)
+    elif input_type == "quat":
+        r = R.from_quat(rot)
+    elif input_type == "vec":
+        r = R.from_rotvec(rot)
+    elif input_type == "euler":
+        if rot.max() < 4:
+            rot = rot * 180.0 / np.pi
+        r = R.from_euler("xyz", rot, degrees=True)
+    else:
+        raise ValueError(input_type)
+    if out_type == "mat":
+        return r.as_matrix()
+    if out_type == "quat":
+        return r.as_quat()
+    if out_type == "vec":
+        return r.as_rotvec()
+    if out_type == "euler":
+        return r.as_euler("xyz", degrees=False)
+    raise ValueError(out_type)
+
+
 def rot6d_to_axis_angle(rot6d: jnp.ndarray) -> jnp.ndarray:
     """Flattened 6D rots [..., K*6] -> flattened axis-angle [..., K*3].
 
