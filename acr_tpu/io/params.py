@@ -54,18 +54,25 @@ def load_params_npz(path: str) -> Dict[str, Any]:
 
 
 def save_params_orbax(path: str, params: Dict[str, Any]) -> None:
-    """Persist the params pytree as an orbax checkpoint directory."""
+    """Persist the params pytree as an orbax checkpoint directory.
+
+    Normalized to the same on-disk contract as the npz format (a
+    {'params': ...} wrapper regardless of input shape) and overwrites an
+    existing checkpoint like save_params_npz does.
+    """
     import os
     import orbax.checkpoint as ocp
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(os.path.abspath(path), params)
+    ckptr.save(os.path.abspath(path), unflatten_params(flatten_params(params)),
+               force=True)
 
 
 def load_params_orbax(path: str) -> Dict[str, Any]:
     import os
     import orbax.checkpoint as ocp
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(os.path.abspath(path))
+    restored = ckptr.restore(os.path.abspath(path))
+    return unflatten_params(flatten_params(restored))
 
 
 def load_params(path: str) -> Dict[str, Any]:

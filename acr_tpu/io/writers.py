@@ -12,8 +12,9 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-# the reference's 21-extension list (acr/utils.py:31-32), lowercased —
-# matching is case-insensitive here
+# the reference's extension list (acr/utils.py:31-32): 19 unique
+# extensions after dropping its redundant uppercase duplicates —
+# matching here is case-insensitive
 IMG_EXTS = (".bmp", ".dib", ".jpg", ".jpeg", ".jpe", ".png", ".webp",
             ".pbm", ".pgm", ".ppm", ".pxm", ".pnm", ".tiff", ".tif",
             ".sr", ".ras", ".exr", ".hdr", ".pic")

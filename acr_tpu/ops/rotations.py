@@ -150,36 +150,38 @@ def rotmat_to_axis_angle(rotmat: jnp.ndarray) -> jnp.ndarray:
 
 
 def transform_rot_representation(rot, input_type: str = "mat",
-                                 out_type: str = "vec"):
+                                 out_type: str = "vec",
+                                 euler_degrees: bool = False):
     """Host-side conversion between rotation representations via scipy.
 
-    Types: 'mat' (3x3), 'quat' (xyzw), 'vec' (rotation vector), 'euler'
-    (xyz; degrees in, radians out — reference: acr/utils.py:521-549).
+    Types: 'mat' (3x3), 'quat' (xyzw), 'vec' (rotation vector),
+    'euler' (intrinsic xyz). Covers the capability of the reference's
+    converter (acr/utils.py:521-549) with one deliberate change: euler
+    units are explicit via ``euler_degrees`` — the reference guesses
+    degrees-vs-radians from magnitude (``rot.max() < 4``), silently
+    rescaling genuine small-degree inputs.
     """
-    from scipy.spatial.transform import Rotation as R
     import numpy as np
+    from scipy.spatial.transform import Rotation as R
     rot = np.asarray(rot)
-    if input_type == "mat":
-        r = R.from_matrix(rot)
-    elif input_type == "quat":
-        r = R.from_quat(rot)
-    elif input_type == "vec":
-        r = R.from_rotvec(rot)
-    elif input_type == "euler":
-        if rot.max() < 4:
-            rot = rot * 180.0 / np.pi
-        r = R.from_euler("xyz", rot, degrees=True)
-    else:
-        raise ValueError(input_type)
-    if out_type == "mat":
-        return r.as_matrix()
-    if out_type == "quat":
-        return r.as_quat()
-    if out_type == "vec":
-        return r.as_rotvec()
-    if out_type == "euler":
-        return r.as_euler("xyz", degrees=False)
-    raise ValueError(out_type)
+    loaders = {
+        "mat": R.from_matrix,
+        "quat": R.from_quat,
+        "vec": R.from_rotvec,
+        "euler": lambda a: R.from_euler("xyz", a, degrees=euler_degrees),
+    }
+    if input_type not in loaders:
+        raise ValueError(f"unknown input_type: {input_type}")
+    r = loaders[input_type](rot)
+    writers = {
+        "mat": r.as_matrix,
+        "quat": r.as_quat,
+        "vec": r.as_rotvec,
+        "euler": lambda: r.as_euler("xyz", degrees=euler_degrees),
+    }
+    if out_type not in writers:
+        raise ValueError(f"unknown out_type: {out_type}")
+    return writers[out_type]()
 
 
 def rot6d_to_axis_angle(rot6d: jnp.ndarray) -> jnp.ndarray:

@@ -2,8 +2,7 @@
 
 Catches silent numerical drift anywhere in the chain (backbone, parser,
 MANO, projection). Regenerate the fixture ONLY for intentional
-numerical-contract changes:
-  see the generator snippet in the git history / tests/golden/.
+numerical-contract changes: ``python tests/golden/make_fixture.py``.
 """
 
 import os

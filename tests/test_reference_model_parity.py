@@ -25,13 +25,17 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
 
 @pytest.fixture(scope="module")
 def ref_model():
-    # stub native-backed deps the reference imports at module scope
+    # stub native-backed deps the reference imports at module scope;
+    # remember what we inject so teardown can remove the fakes (other
+    # tests import h5py/chumpy for real and must not see empty stubs)
+    injected = []
     for name in ("imgaug", "imgaug.augmenters", "h5py", "chumpy"):
         if name not in sys.modules:
             try:
                 __import__(name)
             except ImportError:
                 sys.modules[name] = types.ModuleType(name)
+                injected.append(name)
     aug = sys.modules["imgaug.augmenters"]
     for attr in ("Sequential", "Crop", "Pad"):
         if not hasattr(aug, attr):
@@ -52,7 +56,9 @@ def ref_model():
         model = RefACR().eval()
     finally:
         sys.argv = argv_backup
-    return model
+    yield model
+    for name in injected:
+        sys.modules.pop(name, None)
 
 
 def test_every_converter_key_exists_in_reference(ref_model):
@@ -99,7 +105,7 @@ def test_full_model_activation_parity(ref_model, rng):
                      ("l_center_map", 2e-3), ("r_center_map", 2e-3),
                      ("l_prior_maps", 2e-3), ("r_prior_maps", 2e-3),
                      ("segms", 2e-3)):
-        want = to_nhwc(ref_out[key if key != "segms" else "segms"])
+        want = to_nhwc(ref_out[key])
         got = np.asarray(ours[key])
         assert got.shape == want.shape, key
         scale = max(1.0, np.abs(want).max())
@@ -268,59 +274,74 @@ def test_mano_layer_parity_vs_reference(ref_model, rng, tmp_path):
     ch_ch.MatVecMult = lambda m, v: _as_ch(
         np.asarray(m.todense() if hasattr(m, "todense") else m) @ np.asarray(v))
     ch.ch = ch_ch
+    modules_backup = {name: sys.modules.get(name)
+                      for name in ("chumpy", "chumpy.ch", "mano",
+                                   "mano.manolayer")}
     sys.modules["chumpy"] = ch
     sys.modules["chumpy.ch"] = ch_ch
 
-    # reload manolayer under the functional stub
-    for mod in list(sys.modules):
-        if mod == "mano.manolayer" or mod == "mano":
-            del sys.modules[mod]
-    import cv2
-    import mano.manolayer as ref_manolayer
-    # the reference's numpy lrotmin path references cv2 without importing
-    # it (mano/manolayer.py:336) — reachable only under our stub
-    ref_manolayer.cv2 = cv2
-    RefManoLayer = ref_manolayer.ManoLayer
+    try:
+        # reload manolayer under the functional stub
+        for mod in list(sys.modules):
+            if mod == "mano.manolayer" or mod == "mano":
+                del sys.modules[mod]
+        import cv2
+        import mano.manolayer as ref_manolayer
+        # the reference's numpy lrotmin path references cv2 without
+        # importing it (mano/manolayer.py:336) — reachable only under
+        # our stub
+        ref_manolayer.cv2 = cv2
+        RefManoLayer = ref_manolayer.ManoLayer
 
-    # synthetic assets shared by both implementations
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-    from tools.make_synthetic_mano import make_assets
-    from tests.test_mano import _model_from_assets
-    from acr_tpu.models.mano import mano_forward
+        # synthetic assets shared by both implementations
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tools.make_synthetic_mano import make_assets
+        from tests.test_mano import _model_from_assets
+        from acr_tpu.models.mano import mano_forward
 
-    assets = make_assets("right", seed=0)
-    import scipy.sparse as sp
-    pkl = {
-        "v_template": assets["v_template"].astype(np.float64),
-        "shapedirs": assets["shapedirs"].astype(np.float64),
-        "posedirs": assets["posedirs"].astype(np.float64),
-        "J_regressor": sp.csc_matrix(assets["J_regressor"].astype(np.float64)),
-        "weights": assets["weights"].astype(np.float64),
-        "f": assets["faces"].astype(np.uint32),
-        "hands_mean": assets["hands_mean"].astype(np.float64),
-        "hands_components": assets["hands_components"].astype(np.float64),
-        "kintree_table": assets["kintree_table"],
-        "bs_type": "lrotmin",
-        "bs_style": "lbs",
-    }
-    mano_dir = tmp_path / "mano"
-    mano_dir.mkdir()
-    with open(mano_dir / "MANO_RIGHT.pkl", "wb") as f:
-        pickle.dump(pkl, f)
+        assets = make_assets("right", seed=0)
+        import scipy.sparse as sp
+        pkl = {
+            "v_template": assets["v_template"].astype(np.float64),
+            "shapedirs": assets["shapedirs"].astype(np.float64),
+            "posedirs": assets["posedirs"].astype(np.float64),
+            "J_regressor": sp.csc_matrix(
+                assets["J_regressor"].astype(np.float64)),
+            "weights": assets["weights"].astype(np.float64),
+            "f": assets["faces"].astype(np.uint32),
+            "hands_mean": assets["hands_mean"].astype(np.float64),
+            "hands_components": assets["hands_components"].astype(np.float64),
+            "kintree_table": assets["kintree_table"],
+            "bs_type": "lrotmin",
+            "bs_style": "lbs",
+        }
+        mano_dir = tmp_path / "mano"
+        mano_dir.mkdir()
+        with open(mano_dir / "MANO_RIGHT.pkl", "wb") as f:
+            pickle.dump(pkl, f)
 
-    ref_layer = RefManoLayer(center_idx=9, flat_hand_mean=False, ncomps=45,
-                             side="right", mano_root=str(mano_dir),
-                             use_pca=False)
-    ours = _model_from_assets(assets, "right")
+        ref_layer = RefManoLayer(center_idx=9, flat_hand_mean=False,
+                                 ncomps=45, side="right",
+                                 mano_root=str(mano_dir), use_pca=False)
+        ours = _model_from_assets(assets, "right")
 
-    poses = (rng.randn(3, 48) * 0.5).astype(np.float32)
-    betas = (rng.randn(3, 10) * 0.8).astype(np.float32)
-    with torch.no_grad():
-        want_v, want_j, _ = ref_layer(torch.from_numpy(poses),
-                                      th_betas=torch.from_numpy(betas))
-    got_v, got_j, _ = mano_forward(ours, jnp.asarray(poses), jnp.asarray(betas))
-    np.testing.assert_allclose(np.asarray(got_v), want_v.numpy(), atol=2e-5)
-    np.testing.assert_allclose(np.asarray(got_j), want_j.numpy(), atol=2e-5)
+        poses = (rng.randn(3, 48) * 0.5).astype(np.float32)
+        betas = (rng.randn(3, 10) * 0.8).astype(np.float32)
+        with torch.no_grad():
+            want_v, want_j, _ = ref_layer(torch.from_numpy(poses),
+                                          th_betas=torch.from_numpy(betas))
+        got_v, got_j, _ = mano_forward(ours, jnp.asarray(poses),
+                                       jnp.asarray(betas))
+        np.testing.assert_allclose(np.asarray(got_v), want_v.numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_j), want_j.numpy(), atol=2e-5)
+    finally:
+        # restore the real modules (or remove our stubs) so later tests
+        # importing chumpy / mano.manolayer see the genuine state
+        for name, mod in modules_backup.items():
+            if mod is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = mod
 
 
 def test_oneeuro_parity_vs_reference(ref_model, rng):

@@ -116,6 +116,25 @@ def test_multi_joint_rot6d(rng):
     np.testing.assert_allclose(got, aa, atol=1e-4)
 
 
+def test_transform_rot_representation_round_trips(rng):
+    from acr_tpu.ops.rotations import transform_rot_representation as tr
+    vec = np.array([0.1, -0.2, 0.3])
+    for mid in ("mat", "quat", "euler"):
+        back = tr(tr(vec, "vec", mid), mid, "vec")
+        np.testing.assert_allclose(back, vec, atol=1e-8)
+    # explicit euler units: degrees round-trip without magnitude guessing
+    deg = np.array([2.0, 1.5, 3.0])
+    m = tr(deg, "euler", "mat", euler_degrees=True)
+    np.testing.assert_allclose(tr(m, "mat", "euler", euler_degrees=True),
+                               deg, atol=1e-8)
+    want = R.from_euler("xyz", deg, degrees=True).as_matrix()
+    np.testing.assert_allclose(m, want, atol=1e-10)
+    with pytest.raises(ValueError):
+        tr(vec, "nope", "mat")
+    with pytest.raises(ValueError):
+        tr(vec, "vec", "nope")
+
+
 def test_quat_to_axis_angle_negative_w(rng):
     aa = random_axis_angles(rng, 8)
     q = R.from_rotvec(aa).as_quat()  # xyzw
