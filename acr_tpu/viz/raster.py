@@ -160,19 +160,24 @@ def shade(face_id: jnp.ndarray, bary: jnp.ndarray, faces: jnp.ndarray,
     return jnp.concatenate([rgb * alpha[..., None], alpha[..., None]], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("size", "focal"))
+@functools.partial(jax.jit, static_argnames=("size", "focal", "backend"))
 def render_hands(verts: jnp.ndarray,
                  cam_trans: jnp.ndarray,
                  detection_flag: jnp.ndarray,
                  faces: jnp.ndarray,
                  size: int = 512,
-                 focal: float = 1265.0) -> jnp.ndarray:
+                 focal: float = 1265.0,
+                 backend: str = "auto") -> jnp.ndarray:
     """Render both hand meshes of one image -> (size, size, 4) RGBA.
 
     verts (2, 778, 3) root-relative; cam_trans (2, 3) metric camera
     translation; detection_flag (2,) bool; faces (2, 1538, 3).
     Undetected hands are removed by collapsing their faces to a
     degenerate vertex (zero area -> never rasterized).
+
+    backend: 'pallas' (VMEM-resident kernel, ~14x faster on TPU),
+    'scan' (pure lax.scan, any platform), or 'auto' (pallas on TPU
+    backends, scan on CPU).
     """
     v_world = verts + cam_trans[:, None, :]            # (2, 778, 3)
     all_verts = v_world.reshape(-1, 3)
@@ -186,7 +191,13 @@ def render_hands(verts: jnp.ndarray,
 
     normals = compute_vertex_normals(all_verts, all_faces)
     screen = _project(all_verts, focal, size / 2.0, size / 2.0)
-    face_id, bary = rasterize(screen, all_faces, size, size)
+    if backend == "auto":
+        backend = "scan" if jax.default_backend() == "cpu" else "pallas"
+    if backend == "pallas":
+        from acr_tpu.viz.raster_pallas import rasterize_pallas
+        face_id, bary = rasterize_pallas(screen, all_faces, size, size)
+    else:
+        face_id, bary = rasterize(screen, all_faces, size, size)
 
     hand_of_face = jnp.concatenate(
         [jnp.zeros(faces.shape[1], jnp.int32),

@@ -1,0 +1,164 @@
+"""Pallas TPU rasterization kernel: single-pass z-buffer in VMEM.
+
+The lax.scan rasterizer (viz/raster.py) materializes its per-chunk
+(tile x width x faces) intermediates through HBM on every scan step —
+measured ~260 ms/frame at 512px on a v5e. This kernel keeps the
+z-buffer, winning-face indices, and barycentrics resident in VMEM for
+a whole row-tile and streams face chunks through registers, so the
+pixel/face sweep is VPU-bound instead of HBM-bound.
+
+Layout: faces live on the LANE axis (padded to a 128 multiple); the
+grid walks row-tiles of 8 rows; each program folds over face chunks
+with a fori_loop carrying the (8, W) buffers.
+
+Outputs match viz/raster.rasterize exactly: (face_id, bary) per pixel,
+-1 = background.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROW_TILE = 8
+FACE_CHUNK = 128      # lane-slice alignment: dynamic slices must be 128-aligned
+
+
+COL_TILE = 256        # width tile: keeps (8, 256, 128) intermediates in VMEM
+
+
+def _raster_kernel(tri_ref, inv_ref, fid_ref, b0_ref, b1_ref, *,
+                   n_chunks: int, col_tile: int):
+    """One (row, column) tile: fold face chunks, carry buffers functionally.
+
+    tri_ref: (16, F_pad) — rows 0..8 = [ax, ay, az, bx, by, bz, cx, cy,
+             cz], rows 9..15 zero sublane padding.
+    inv_ref: (1, F_pad) inverse signed area (0 for degenerate faces).
+    """
+    tile_r = pl.program_id(0)
+    tile_c = pl.program_id(1)
+    # tpu.iota only produces integers; cast to f32 afterwards
+    px = (jax.lax.broadcasted_iota(
+        jnp.int32, (ROW_TILE, col_tile), 1).astype(jnp.float32)
+        + tile_c * col_tile + 0.5)
+    py = (jax.lax.broadcasted_iota(
+        jnp.int32, (ROW_TILE, col_tile), 0).astype(jnp.float32)
+        + tile_r * ROW_TILE + 0.5)
+    width = col_tile
+
+    def chunk_step(ci, carry):
+        zbuf, fid, b0c, b1c = carry
+        sl = pl.multiple_of(ci * FACE_CHUNK, FACE_CHUNK)
+        ax = tri_ref[0, pl.ds(sl, FACE_CHUNK)]
+        ay = tri_ref[1, pl.ds(sl, FACE_CHUNK)]
+        az = tri_ref[2, pl.ds(sl, FACE_CHUNK)]
+        bx = tri_ref[3, pl.ds(sl, FACE_CHUNK)]
+        by = tri_ref[4, pl.ds(sl, FACE_CHUNK)]
+        bz = tri_ref[5, pl.ds(sl, FACE_CHUNK)]
+        cx = tri_ref[6, pl.ds(sl, FACE_CHUNK)]
+        cy = tri_ref[7, pl.ds(sl, FACE_CHUNK)]
+        cz = tri_ref[8, pl.ds(sl, FACE_CHUNK)]
+        inv = inv_ref[0, pl.ds(sl, FACE_CHUNK)]
+
+        gx = px[:, :, None]
+        gy = py[:, :, None]
+        # barycentric edge functions (same math as viz/raster.py)
+        w0 = ((cx - bx)[None, None, :] * (gy - by[None, None, :])
+              - (cy - by)[None, None, :] * (gx - bx[None, None, :])) \
+            * inv[None, None, :]
+        w1 = ((ax - cx)[None, None, :] * (gy - cy[None, None, :])
+              - (ay - cy)[None, None, :] * (gx - cx[None, None, :])) \
+            * inv[None, None, :]
+        w2 = 1.0 - w0 - w1
+        inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+                  & (inv != 0.0)[None, None, :])
+        depth = (w0 * az[None, None, :] + w1 * bz[None, None, :]
+                 + w2 * cz[None, None, :])
+        depth = jnp.where(inside, depth, jnp.inf)
+
+        # winner within the chunk via min-reduction + one-hot select
+        # (Mosaic supports reductions but not 3D gathers)
+        best = jnp.argmin(depth, axis=-1)                     # (8, W)
+        lane = jax.lax.broadcasted_iota(jnp.int32,
+                                        (ROW_TILE, width, FACE_CHUNK), 2)
+        onehot = (lane == best[..., None]).astype(jnp.float32)
+        best_z = jnp.min(depth, axis=-1)
+        pick = lambda w: jnp.sum(jnp.where(onehot > 0, w, 0.0), axis=-1)
+        win = best_z < zbuf
+        zbuf = jnp.where(win, best_z, zbuf)
+        fid = jnp.where(win, sl + best.astype(jnp.int32), fid)
+        b0c = jnp.where(win, pick(w0), b0c)
+        b1c = jnp.where(win, pick(w1), b1c)
+        return zbuf, fid, b0c, b1c
+
+    init = (jnp.full((ROW_TILE, col_tile), jnp.inf, jnp.float32),
+            jnp.full((ROW_TILE, col_tile), -1, jnp.int32),
+            jnp.zeros((ROW_TILE, col_tile), jnp.float32),
+            jnp.zeros((ROW_TILE, col_tile), jnp.float32))
+    zbuf, fid, b0c, b1c = jax.lax.fori_loop(0, n_chunks, chunk_step, init)
+    fid_ref[:] = fid
+    b0_ref[:] = b0c
+    b1_ref[:] = b1c
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "interpret"))
+def rasterize_pallas(verts_screen: jnp.ndarray, faces: jnp.ndarray,
+                     height: int, width: int,
+                     interpret: bool = False
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in replacement for viz.raster.rasterize.
+
+    verts_screen (V, 3) = (u, v, depth); faces (F, 3) int32, F a
+    multiple of FACE_CHUNK (pad with degenerate faces).
+    Returns (face_id (H, W) int32 with -1 background, bary (H, W, 3)).
+    """
+    f_total = faces.shape[0]
+    assert f_total % FACE_CHUNK == 0
+    col_tile = min(COL_TILE, width)
+    assert height % ROW_TILE == 0 and width % col_tile == 0
+    n_chunks = f_total // FACE_CHUNK
+
+    tri = verts_screen[faces]                        # (F, 3, 3)
+    # rows: ax ay az bx by bz cx cy cz -> (16, F) sublane-padded
+    tri_rows = tri.transpose(1, 2, 0).reshape(9, f_total)
+    tri_rows = jnp.concatenate(
+        [tri_rows, jnp.zeros((7, f_total), tri_rows.dtype)], axis=0)
+
+    xs = tri[:, :, 0]
+    ys = tri[:, :, 1]
+    area = ((xs[:, 1] - xs[:, 0]) * (ys[:, 2] - ys[:, 0])
+            - (xs[:, 2] - xs[:, 0]) * (ys[:, 1] - ys[:, 0]))
+    inv_area = jnp.where(jnp.abs(area) < 1e-9, 0.0, 1.0 / area)[None, :]
+
+    kernel = functools.partial(_raster_kernel, n_chunks=n_chunks,
+                               col_tile=col_tile)
+    grid = (height // ROW_TILE, width // col_tile)
+    out_spec = pl.BlockSpec((ROW_TILE, col_tile), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    fid, b0, b1 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((16, f_total), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f_total), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((height, width), jnp.int32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tri_rows, inv_area)
+    bary = jnp.stack([b0, b1, 1.0 - b0 - b1], axis=-1)
+    # background pixels keep bary 0 like the scan rasterizer
+    bary = jnp.where((fid >= 0)[..., None], bary, 0.0)
+    return fid, bary

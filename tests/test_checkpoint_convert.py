@@ -76,6 +76,20 @@ def test_convert_covers_all_params(flax_shapes, synthetic_torch_sd):
         assert flat["/".join(path)].shape == tuple(shape)
 
 
+def test_fp16_checkpoint_normalized(flax_shapes, synthetic_torch_sd):
+    """fp16-stored checkpoints convert to fp32 params (BN fold included)."""
+    sd16 = {k: (v.astype(np.float16)
+                if np.issubdtype(v.dtype, np.floating) else v)
+            for k, v in synthetic_torch_sd.items()}
+    flat, _, missing = convert_state_dict(sd16, list(flax_shapes))
+    assert not missing
+    assert all(v.dtype == np.float32 for v in flat.values())
+    # folded values agree with the fp32 conversion within fp16 precision
+    flat32, _, _ = convert_state_dict(synthetic_torch_sd, list(flax_shapes))
+    key = "backbone/stem1/bn/scale"
+    np.testing.assert_allclose(flat[key], flat32[key], rtol=2e-3)
+
+
 def test_bn_folding_values(flax_shapes, synthetic_torch_sd):
     flat, _, _ = convert_state_dict(synthetic_torch_sd, list(flax_shapes))
     base = "backbone.bn1"

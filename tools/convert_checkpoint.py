@@ -60,6 +60,15 @@ def convert_state_dict(torch_sd: dict, flax_paths: list) -> tuple:
     """
     from acr_tpu.io.torch_names import map_flax_path
 
+    # fp16-trained checkpoints (the reference's default precision is
+    # fp16, acr/config.py:96) normalize to fp32 up front: BN folding in
+    # half precision loses accuracy and flax params are fp32
+    torch_sd = {
+        k: (v.astype(np.float32)
+            if np.issubdtype(np.asarray(v).dtype, np.floating)
+            and np.asarray(v).dtype != np.float32 else v)
+        for k, v in torch_sd.items()}
+
     flat, used, missing = {}, set(), []
     for path in flax_paths:
         name = "/".join(path)
