@@ -139,8 +139,12 @@ def _coerce(name: str, value: Any) -> Any:
         return int(value)
     if "float" in ftype:
         return float(value)
-    if "Tuple" in ftype and isinstance(value, (list, tuple)):
-        return tuple(value)
+    if "Tuple" in ftype:
+        if isinstance(value, (list, tuple)):
+            return tuple(value)
+        # scalar YAML like `show_items: pj2d` means a 1-tuple, not
+        # character-wise iteration
+        return (value,)
     return value
 
 
@@ -159,8 +163,13 @@ def make_config(yaml_path: Optional[str] = None,
     extras: Dict[str, Any] = {}
 
     yml = cli_overrides.get("configs_yml", yaml_path)
+    explicit = yml is not None
     if yml is None:
         yml = Config.configs_yml          # default demo.yml, like the reference
+    if explicit and yml and not os.path.exists(yml):
+        # a user-supplied config path that doesn't exist is an error,
+        # not a silent fall-back to defaults
+        raise FileNotFoundError(f"--configs_yml not found: {yml}")
     if yml and os.path.exists(yml):
         for key, value in load_yaml_overrides(yml).items():
             if key in cli_overrides:   # CLI beats YAML

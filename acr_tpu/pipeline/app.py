@@ -164,8 +164,30 @@ class ACRApp:
             return
         os.makedirs(self.output_dir, exist_ok=True)
         import cv2
-        cv2.imwrite(os.path.join(self.output_dir, os.path.basename(path)),
+        cv2.imwrite(os.path.join(self.output_dir, self._output_name(path)),
                     bgr_frame)
+
+    def _output_name(self, path: str) -> str:
+        """Unique output filename per input path.
+
+        Recursive folder collection can yield same-named frames in
+        different subdirectories (a/0001.jpg, b/0001.jpg); suffix
+        collisions instead of silently overwriting.
+        """
+        base = os.path.basename(path)
+        if not hasattr(self, "_name_map"):
+            self._name_map: Dict[str, str] = {}
+            self._used_names: set = set()
+        if path in self._name_map:
+            return self._name_map[path]
+        name, k = base, 1
+        stem, ext = os.path.splitext(base)
+        while name in self._used_names:
+            name = f"{stem}_{k}{ext}"
+            k += 1
+        self._name_map[path] = name
+        self._used_names.add(name)
+        return name
 
     # ------------------------------------------------------------------
     def run_image(self) -> Dict:
@@ -247,26 +269,26 @@ class ACRApp:
 
         total = len(file_list)
         chunks, offsets_all = [], []
-        with self.timer.stage("device_step"):
-            for i in range(0, total, bs):
-                batch_paths = file_list[i:i + bs]
-                with self.timer.stage("preprocess"):
-                    metas = [img_preprocess(read_frame(p), p,
-                                            input_size=self.cfg.input_size)
-                             for p in batch_paths]
-                img_c = np.concatenate([m["image"] for m in metas])
-                off_c = np.concatenate([m["offsets"] for m in metas])
-                pad = bs - len(img_c)
-                if pad:
-                    img_c = np.concatenate(
-                        [img_c, np.repeat(img_c[-1:], pad, axis=0)])
-                    off_c = np.concatenate(
-                        [off_c, np.repeat(off_c[-1:], pad, axis=0)])
+        for i in range(0, total, bs):
+            batch_paths = file_list[i:i + bs]
+            with self.timer.stage("preprocess"):
+                metas = [img_preprocess(read_frame(p), p,
+                                        input_size=self.cfg.input_size)
+                         for p in batch_paths]
+            img_c = np.concatenate([m["image"] for m in metas])
+            off_c = np.concatenate([m["offsets"] for m in metas])
+            pad = bs - len(img_c)
+            if pad:
+                img_c = np.concatenate(
+                    [img_c, np.repeat(img_c[-1:], pad, axis=0)])
+                off_c = np.concatenate(
+                    [off_c, np.repeat(off_c[-1:], pad, axis=0)])
+            with self.timer.stage("device_step"):
                 o = self.pipeline(img_c, off_c)
-                keep = bs - pad
-                offsets_all.append(off_c[:keep])
-                chunks.append(jax.tree.map(
-                    lambda v: np.asarray(v)[:keep], jax.device_get(o)))
+                o = jax.device_get(o)
+            keep = bs - pad
+            offsets_all.append(off_c[:keep])
+            chunks.append(jax.tree.map(lambda v: np.asarray(v)[:keep], o))
         out = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
         offsets = np.concatenate(offsets_all)
 

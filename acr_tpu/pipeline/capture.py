@@ -36,10 +36,11 @@ class WebcamVideoStream:
 
     def __init__(self, src: int = 0):
         import cv2
-        try:
-            self.stream = cv2.VideoCapture(src)
-        except Exception:
+        self.stream = cv2.VideoCapture(src)
+        if not self.stream.isOpened():
             self.stream = cv2.VideoCapture(f"/dev/video{src}", cv2.CAP_V4L2)
+        if not self.stream.isOpened():
+            raise RuntimeError(f"could not open camera {src}")
         self.grabbed, self.frame = self.stream.read()
         self.stopped = False
         self._thread: Optional[threading.Thread] = None
@@ -50,8 +51,13 @@ class WebcamVideoStream:
         return self
 
     def _update(self):
+        import time
         while not self.stopped:
-            self.grabbed, self.frame = self.stream.read()
+            self.grabbed, frame = self.stream.read()
+            if self.grabbed:
+                self.frame = frame
+            else:
+                time.sleep(0.01)       # dead/stalled device: don't spin hot
 
     def read(self) -> np.ndarray:
         return self.frame

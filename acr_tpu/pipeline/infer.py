@@ -46,6 +46,32 @@ def _apply_mano(mano, poses, betas, center_idx):
     return mano_forward(mano, poses, betas, center_idx=center_idx)
 
 
+def _mano_projection_tail(mano_l, mano_r, poses, betas, cam, offsets,
+                          cfg: Config) -> Dict[str, jnp.ndarray]:
+    """Shared MANO -> weak-persp -> translation -> org-image tail.
+
+    poses (B,2,48), betas (B,2,10), cam (B,2,3), offsets (B,10).
+    Used by both the fresh forward and the post-smoothing refine so the
+    pixel-space conventions can never desynchronize between them.
+    """
+    align = cfg.align_idx if cfg.mano_mesh_root_align else None
+    verts_l, j3d_l, _ = _apply_mano(mano_l, poses[:, 0], betas[:, 0], align)
+    verts_r, j3d_r, _ = _apply_mano(mano_r, poses[:, 1], betas[:, 1], align)
+    verts = jnp.stack([verts_l, verts_r], axis=1)      # (B, 2, 778, 3)
+    j3d = jnp.stack([j3d_l, j3d_r], axis=1)            # (B, 2, 21, 3)
+    verts_camed = weak_persp_project(verts, cam, keep_dim=True)
+    pj2d = weak_persp_project(j3d, cam)                # [-1, 1]
+    pj2d_px = (pj2d + 1.0) * (cfg.input_size / 2.0)    # reference: utils.py:404
+    cam_trans = estimate_translation_ls(
+        j3d, pj2d_px, focal=cfg.focal_length,
+        img_size=(cfg.input_size, cfg.input_size))
+    return {
+        "verts": verts, "j3d": j3d, "verts_camed": verts_camed,
+        "pj2d": pj2d, "pj2d_org": kp2d_to_org_image(pj2d, offsets[:, None, :]),
+        "cam_trans": cam_trans,
+    }
+
+
 def forward_fn(net: ACRNet,
                params: Dict[str, Any],
                mano_l: ManoModel,
@@ -68,38 +94,17 @@ def forward_fn(net: ACRNet,
         centermap_size=cfg.centermap_size,
         merge_params=merge_params)
 
-    align = cfg.align_idx if cfg.mano_mesh_root_align else None
-    verts_l, j3d_l, _ = _apply_mano(mano_l, parsed.poses[:, 0],
-                                    parsed.betas[:, 0], align)
-    verts_r, j3d_r, _ = _apply_mano(mano_r, parsed.poses[:, 1],
-                                    parsed.betas[:, 1], align)
-    verts = jnp.stack([verts_l, verts_r], axis=1)      # (B, 2, 778, 3)
-    j3d = jnp.stack([j3d_l, j3d_r], axis=1)            # (B, 2, 21, 3)
-
-    cam = parsed.cam                                   # (B, 2, 3)
-    verts_camed = weak_persp_project(verts, cam, keep_dim=True)
-    pj2d = weak_persp_project(j3d, cam)                # (B, 2, 21, 2), [-1,1]
-    pj2d_px = (pj2d + 1.0) * (cfg.input_size / 2.0)    # reference: utils.py:404
-    cam_trans = estimate_translation_ls(
-        j3d, pj2d_px, focal=cfg.focal_length,
-        img_size=(cfg.input_size, cfg.input_size))
-    pj2d_org = kp2d_to_org_image(pj2d, offsets[:, None, :])
-
     out = {
         "params": parsed.params,
-        "cam": cam,
+        "cam": parsed.cam,
         "poses": parsed.poses,
         "betas": parsed.betas,
-        "verts": verts,
-        "j3d": j3d,
-        "verts_camed": verts_camed,
-        "pj2d": pj2d,
-        "pj2d_org": pj2d_org,
-        "cam_trans": cam_trans,
         "detection_flag": parsed.detection_flag,
         "centers": parsed.centers,
         "centers_conf": parsed.centers_conf,
     }
+    out.update(_mano_projection_tail(mano_l, mano_r, parsed.poses,
+                                     parsed.betas, parsed.cam, offsets, cfg))
     if return_maps:
         out["l_center_map"] = outputs["l_center_map"]
         out["r_center_map"] = outputs["r_center_map"]
@@ -114,22 +119,8 @@ def mano_refine_fn(mano_l: ManoModel, mano_r: ManoModel,
 
     poses (B,2,48), betas (B,2,10), cam (B,2,3), offsets (B,10).
     """
-    align = cfg.align_idx if cfg.mano_mesh_root_align else None
-    verts_l, j3d_l, _ = _apply_mano(mano_l, poses[:, 0], betas[:, 0], align)
-    verts_r, j3d_r, _ = _apply_mano(mano_r, poses[:, 1], betas[:, 1], align)
-    verts = jnp.stack([verts_l, verts_r], axis=1)
-    j3d = jnp.stack([j3d_l, j3d_r], axis=1)
-    verts_camed = weak_persp_project(verts, cam, keep_dim=True)
-    pj2d = weak_persp_project(j3d, cam)
-    pj2d_px = (pj2d + 1.0) * (cfg.input_size / 2.0)
-    cam_trans = estimate_translation_ls(
-        j3d, pj2d_px, focal=cfg.focal_length,
-        img_size=(cfg.input_size, cfg.input_size))
-    return {
-        "verts": verts, "j3d": j3d, "verts_camed": verts_camed,
-        "pj2d": pj2d, "pj2d_org": kp2d_to_org_image(pj2d, offsets[:, None, :]),
-        "cam_trans": cam_trans,
-    }
+    return _mano_projection_tail(mano_l, mano_r, poses, betas, cam,
+                                 offsets, cfg)
 
 
 class ACRPipeline:
@@ -191,16 +182,33 @@ class ACRPipeline:
                  return_maps: bool = False) -> Dict[str, jnp.ndarray]:
         """image: uint8 (B, S, S, 3); offsets: float32 (B, 10).
 
-        Under data_parallel > 1 the batch must divide evenly over the
-        mesh; callers pad (see app._run_batched).
+        Under data_parallel > 1 a batch that doesn't divide the mesh is
+        padded (repeating the last frame) and outputs are trimmed, so
+        batch-1 image/webcam modes work on any mesh size.
         """
-        image = jnp.asarray(image)
-        offsets = jnp.asarray(offsets)
+        image = np.asarray(image)
+        offsets = np.asarray(offsets)
+        batch = image.shape[0]
+        pad = 0
         if self.mesh is not None:
-            image = jax.device_put(image, self._batch_sharding)
-            offsets = jax.device_put(offsets, self._batch_sharding)
+            n = self.mesh.size
+            pad = (-batch) % n
+            if pad:
+                image = np.concatenate(
+                    [image, np.repeat(image[-1:], pad, axis=0)])
+                offsets = np.concatenate(
+                    [offsets, np.repeat(offsets[-1:], pad, axis=0)])
+            image = jax.device_put(jnp.asarray(image), self._batch_sharding)
+            offsets = jax.device_put(jnp.asarray(offsets),
+                                     self._batch_sharding)
+        else:
+            image = jnp.asarray(image)
+            offsets = jnp.asarray(offsets)
         fn = self._jit_forward_maps if return_maps else self._jit_forward
-        return fn(self.params, self.mano_l, self.mano_r, image, offsets)
+        out = fn(self.params, self.mano_l, self.mano_r, image, offsets)
+        if pad:
+            out = jax.tree.map(lambda v: v[:batch], out)
+        return out
 
     def refine(self, poses, betas, cam, offsets) -> Dict[str, jnp.ndarray]:
         return self._jit_refine(jnp.asarray(poses), jnp.asarray(betas),
