@@ -32,37 +32,34 @@ class Config:
     inputs: Optional[str] = None
     output_dir: Optional[str] = None
     interactive_vis: bool = False
-    soi_camera: str = "far"
     temporal_optimization: bool = False          # -t
     smooth_coeff: float = 4.0
     save_dict_results: bool = False              # -s
     save_visualization_on_img: bool = True       # -v flips to False
-    vis_otherview: bool = False
-    higher_resolution: bool = False
     renderer: str = "tpu"                        # tpu | native | none (reference: pyrender/pytorch3d)
     show_items: Tuple[str, ...] = ("mesh",)      # mesh | org_img | pj2d | centermap | j3d
     render_size: int = 512
     cam_id: int = 0
     demo_mode: str = "image"                     # image | video | folder | webcam
 
-    # ------ mode options (reference: acr/config.py:45-50) ------
-    model_version: int = 1
-    multi_hand: bool = True
+    # ------ camera options (reference: acr/config.py:29-30,50) ------
+    # camera_model selects the render projection: 'intrinsics' is the
+    # pyrender IntrinsicsCamera (reference: renderer_pyrd.py:20-47, the
+    # demo default); 'pt3d' mirrors the pytorch3d backend's rule —
+    # FoVPerspective(fov=FOV) when perspective_proj else FoVOrthographic
+    # (reference: renderer_pt3d.py:74-110); 'fov'/'ortho' force one.
+    camera_model: str = "intrinsics"             # intrinsics | pt3d | fov | ortho
     perspective_proj: bool = False
     FOV: float = 22.5
     focal_length: float = 1265.0
 
     # ------ run options ------
-    batch_size: int = 64
     val_batch_size: int = 1
     input_size: int = 512
 
     # ------ model settings (reference: acr/config.py:95-101) ------
-    backbone: str = "hrnet"
     model_precision: str = "fp32"                # fp32 | bf16 (reference: fp32/fp16)
     head_block_num: int = 2
-    merge_mano_camera_head: bool = False
-    use_coordmaps: bool = True
 
     # ------ part / cross-hand settings (reference: acr/config.py:81-89) ------
     offset_mode: str = "concat"                  # offset | replace | concat
@@ -74,8 +71,8 @@ class Config:
     # ------ center map options (reference: acr/config.py:130-134) ------
     centermap_size: int = 64
     centermap_conf_thresh: float = 0.35
-    kernel_sizes: Tuple[int, ...] = (5,)
-    max_hand: int = 4
+    kernel_sizes: Tuple[int, ...] = (5,)        # [-1] = NMS pool kernel (reference: result_parser.py:219)
+    max_hand: int = 4                           # top-K candidate slots per hand (reference: result_parser.py:221-224)
 
     # ------ checkpoint / assets (reference: acr/config.py:143,173) ------
     model_path: str = os.path.join(_REPO_ROOT, "checkpoints", "wild.npz")
@@ -83,19 +80,26 @@ class Config:
 
     # ------ mano options (reference: acr/config.py:165-176) ------
     mano_mesh_root_align: bool = True
-    Rot_type: str = "6D"
+    Rot_type: str = "6D"                        # 6D (Gram-Schmidt decode) | angular (raw axis-angle, reference: result_parser.py:30-33)
     rot_dim: int = 6
     cam_dim: int = 3
     align_idx: int = 9
     beta_dim: int = 10
     mano_theta_num: int = 16
 
-    # ------ dataset tag (used only to gate prior logic in the reference) ------
+    # ------ dataset tag: gates the cross-hand prior exactly like the
+    # reference (acr/result_parser.py:125-165): inter_prior requires a
+    # non-FreiHand dataset; disabling inter_prior requires prior_mode
+    # 'none'. Violations raise, mirroring the reference's ValueError.
     dataset: str = "internet"
 
-    # ------ TPU-native additions (no reference equivalent) ------
+    # ------ TPU-native additions (no reference equivalent; the
+    # reference's DDP flags were dead, acr/config.py:136-138) ------
     mesh_axes: Tuple[str, ...] = ("data",)       # device mesh axis names
     data_parallel: int = 1                       # number of chips to shard batch over
+    coordinator: Optional[str] = None            # host:port -> jax.distributed multi-host DP
+    num_processes: int = 1                       # processes in the distributed runtime
+    process_id: int = 0                          # this process's rank
     use_pallas_mano: bool = False                # fused Pallas MANO kernel (validated; default off —
                                                  # pure-JAX path is equally fast at demo batch sizes)
     jit_translation_solve: bool = True           # closed-form weighted-LS on device (reference: host solvePnPRansac)
@@ -121,6 +125,53 @@ class Config:
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
+
+    def __post_init__(self):
+        """Reject configurations the reference also rejects (or cannot
+        represent), instead of silently ignoring a flag.
+
+        The raise semantics mirror the reference parser exactly
+        (acr/result_parser.py:125-165): ``inter_prior`` with the
+        FreiHand (single-hand) dataset raises; disabling ``inter_prior``
+        is only valid with ``prior_mode='none'``.
+        """
+        if self.renderer not in ("tpu", "native", "none"):
+            raise ValueError(f"renderer must be tpu|native|none, "
+                             f"got {self.renderer!r}")
+        if self.camera_model not in ("intrinsics", "pt3d", "fov", "ortho"):
+            raise ValueError(f"camera_model must be intrinsics|pt3d|fov|"
+                             f"ortho, got {self.camera_model!r}")
+        if self.offset_mode not in ("offset", "replace", "concat"):
+            raise ValueError(f"offset_mode must be offset|replace|concat, "
+                             f"got {self.offset_mode!r}")
+        if "pred" not in self.attention_mode:
+            # 'gt-part' feeds ground-truth part maps into the attention
+            # pooling — a training-time mode (reference: acr/model.py:62
+            # emits segms only for 'pred*'); inference has no GT parts.
+            raise ValueError(
+                f"attention_mode {self.attention_mode!r} is train-only in "
+                "the reference (needs GT part maps); inference supports "
+                "'pred-part'")
+        if self.inter_prior and self.dataset == "FreiHand":
+            raise ValueError(
+                "inter_prior with dataset='FreiHand' is invalid (single-"
+                "hand dataset; reference raises, acr/result_parser.py:161)")
+        if not self.inter_prior and self.prior_mode != "none":
+            raise ValueError(
+                "inter_prior=False requires prior_mode='none' "
+                "(reference raises otherwise, acr/result_parser.py:159-165)")
+        if self.Rot_type == "6D":
+            if self.rot_dim != 6:
+                raise ValueError("Rot_type='6D' requires rot_dim=6")
+        elif self.Rot_type == "angular":
+            if self.rot_dim != 3:
+                raise ValueError("Rot_type='angular' requires rot_dim=3")
+        else:
+            raise ValueError(f"Rot_type must be 6D|angular, "
+                             f"got {self.Rot_type!r}")
+        if not self.kernel_sizes:
+            raise ValueError("kernel_sizes must be non-empty (the last "
+                             "entry selects the NMS pool kernel)")
 
 
 _FIELD_TYPES = {f.name: f.type for f in dataclasses.fields(Config)}

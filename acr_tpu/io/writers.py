@@ -100,8 +100,9 @@ def save_results(tag: str, output_dir: str, results_dict: Dict) -> str:
 
 
 def save_npz_results(path: str, results_dict: Dict) -> str:
-    np.savez(path, results=np.asarray([results_dict], dtype=object),
-             allow_pickle=True)
+    # object arrays are pickled by default; np.savez has no allow_pickle
+    # kwarg (passing one would be saved as a spurious array entry)
+    np.savez(path, results=np.asarray([results_dict], dtype=object))
     return path
 
 

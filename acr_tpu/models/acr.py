@@ -19,8 +19,13 @@ offset_mode='concat', attention_mode='pred-part', centermap_size=64):
 Everything is NHWC and fixed-shape; the attention pooling is a single
 softmax + batched matmul (MXU) instead of reshape/permute chains.
 
-Output dict values are float32 regardless of compute dtype, matching
-the reference's ``.float()`` casts (acr/model.py:56-63).
+Output maps stay in the COMPUTE dtype. The reference casts every output
+map to fp32 (acr/model.py:56-63), but downstream only ever samples one
+spatial index per map — materializing fp32 copies of the 33x256x256
+segm logits and four 106ch 64x64 maps costs tens of MB of HBM traffic
+per frame for nothing in bf16 mode. The parser casts the sampled
+(B,109)/(B,106) vectors to fp32 instead (parser/parse.py), and the
+fp32 parity mode is bit-unaffected (the casts were no-ops there).
 """
 
 from __future__ import annotations
@@ -100,10 +105,22 @@ def hadamard_pool(features: jnp.ndarray, attention: jnp.ndarray) -> jnp.ndarray:
 
 
 class ACRNet(nn.Module):
-    """Full-frame network: uint8 image (B,512,512,3) -> output maps dict."""
+    """Full-frame network: uint8 image (B,512,512,3) -> output maps dict.
+
+    ``params_ch`` is the per-hand parameter-map width without the camera
+    (cfg.map_channels; 106 for the 6D demo layout). ``offset_mode``
+    selects how the part module's pooled 106-vector refines the global
+    params map: 'concat' (1x1 conv over the concatenation — the only
+    mode the reference's forward implements, acr/model.py:158-164,
+    254-258), 'offset' (add to the map's non-cam channels), or
+    'replace' (overwrite them) — the PARE-style semantics the
+    reference's flag names but never wired.
+    """
     dtype: Any = jnp.float32
     inter_prior: bool = True
     head_block_num: int = 2
+    params_ch: int = PARAMS_CH
+    offset_mode: str = "concat"
 
     @nn.compact
     def __call__(self, image_uint8: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -116,7 +133,7 @@ class ACRNet(nn.Module):
 
         # ---- global module (per hand) ----
         def global_maps(side: str):
-            params = HeadStack(PARAMS_CH, num_blocks=self.head_block_num,
+            params = HeadStack(self.params_ch, num_blocks=self.head_block_num,
                                dtype=self.dtype, name=f"{side}_params_head")(x)
             center = HeadStack(1, num_blocks=self.head_block_num,
                                dtype=self.dtype, name=f"{side}_center_head")(x)
@@ -124,7 +141,7 @@ class ACRNet(nn.Module):
                             dtype=self.dtype, name=f"{side}_cam_head")(x)
             prior = None
             if self.inter_prior:
-                prior = HeadStack(PARAMS_CH, num_blocks=self.head_block_num,
+                prior = HeadStack(self.params_ch, num_blocks=self.head_block_num,
                                   dtype=self.dtype, name=f"{side}_prior_head")(x)
             # positive scale via 1.1^s (reference: acr/model.py:95-96)
             cam = jnp.concatenate(
@@ -152,37 +169,48 @@ class ACRNet(nn.Module):
             "l": (pooled_contact[:, :, 16:], pooled_shape[:, :, 16:]),
         }
 
+        pose_w = self.params_ch - 10                 # 96 for the 6D layout
+        per_joint = pose_w // 16
+
         def part_refine(side: str, params_map: jnp.ndarray) -> jnp.ndarray:
             contact, shape = per_side[side]
             b = contact.shape[0]
             # (B,6,16) -> per-joint-contiguous 96-vector [(j0 6d), (j1 6d), ...]
-            offs = LocallyConnected(dtype=self.dtype,
+            offs = LocallyConnected(out_ch=per_joint, dtype=self.dtype,
                                     name=f"{side}_pose_lc")(contact)
-            offs = offs.transpose(0, 2, 1).reshape(b, 96)
+            offs = offs.transpose(0, 2, 1).reshape(b, pose_w)
             # flatten (B,64,16) channel-major, matching torch flatten order
             shape_flat = shape.reshape(b, 64 * 16)
             betas = nn.Dense(10, dtype=self.dtype,
                              name=f"{side}_shape_fc")(shape_flat)
             pare = jnp.concatenate([offs, betas], axis=-1)           # (B,106)
             mh, mw = params_map.shape[1:3]
-            pare_map = jnp.broadcast_to(
-                pare[:, None, None, :], (b, mh, mw, PARAMS_CH))
+            pare_bcast = jnp.broadcast_to(
+                pare[:, None, None, :], (b, mh, mw, self.params_ch))
+            if self.offset_mode == "offset":
+                return jnp.concatenate(
+                    [params_map[..., :CAM_CH],
+                     params_map[..., CAM_CH:] + pare_bcast], axis=-1)
+            if self.offset_mode == "replace":
+                return jnp.concatenate(
+                    [params_map[..., :CAM_CH], pare_bcast], axis=-1)
             pare_map = jnp.concatenate(
-                [params_map[..., :CAM_CH], pare_map], axis=-1)       # (B,64,64,109)
+                [params_map[..., :CAM_CH], pare_bcast], axis=-1)     # (B,64,64,109)
             fused_in = jnp.concatenate([params_map, pare_map], axis=-1)
-            return conv(CAM_CH + PARAMS_CH, 1, pad=0, use_bias=True,
+            return conv(CAM_CH + self.params_ch, 1, pad=0, use_bias=True,
                         dtype=self.dtype, name=f"{side}_fuse_conv")(fused_in)
 
         l_params = part_refine("l", l_params)
         r_params = part_refine("r", r_params)
 
-        f32 = lambda t: None if t is None else t.astype(jnp.float32)
+        # maps stay in compute dtype — see module docstring (the parser
+        # casts the sampled vectors; parity fp32 mode is unaffected)
         return {
-            "l_params_maps": f32(l_params),
-            "r_params_maps": f32(r_params),
-            "l_center_map": f32(l_center),
-            "r_center_map": f32(r_center),
-            "l_prior_maps": f32(l_prior),
-            "r_prior_maps": f32(r_prior),
-            "segms": f32(pred_segm),
+            "l_params_maps": l_params,
+            "r_params_maps": r_params,
+            "l_center_map": l_center,
+            "r_center_map": r_center,
+            "l_prior_maps": l_prior,
+            "r_prior_maps": r_prior,
+            "segms": pred_segm,
         }

@@ -14,11 +14,44 @@ neither tensor nor pipeline parallelism; the mesh is deliberately 1-D.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Join a multi-process (multi-host) JAX runtime, if configured.
+
+    The reference declares DDP flags that nothing ever consumes
+    (--local_rank/--distributed_training, acr/config.py:136-138); here
+    multi-host data parallelism is real: after this call
+    ``jax.devices()`` spans every process, so the same 1-D 'data' mesh
+    shards frame batches across hosts with XLA collectives riding
+    DCN/ICI — no other code changes.
+
+    Arguments fall back to the environment (``ACR_COORDINATOR``,
+    ``ACR_NUM_PROCESSES``, ``ACR_PROCESS_ID``). Returns True if a
+    distributed runtime was initialized, False if unconfigured
+    (single-process mode). Idempotent: repeated calls are no-ops.
+    """
+    coordinator = coordinator or os.environ.get("ACR_COORDINATOR")
+    if not coordinator:
+        return False
+    if num_processes is None:
+        num_processes = int(os.environ.get("ACR_NUM_PROCESSES", "1"))
+    if process_id is None:
+        process_id = int(os.environ.get("ACR_PROCESS_ID", "0"))
+    if jax.distributed.is_initialized():
+        return True                      # already initialized
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
 
 
 def make_mesh(n_data: Optional[int] = None,

@@ -55,18 +55,31 @@ def sample_at_index(maps: jnp.ndarray, flat_inds: jnp.ndarray) -> jnp.ndarray:
                                axis=1)[:, 0]
 
 
-def split_params(params109: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """[cam(3) | orient(6D) | pose(15x6D) | betas(10)] -> decoded dict.
+def split_params(params109: jnp.ndarray,
+                 rot_type: str = "6D",
+                 rot_dim: int = 6,
+                 theta_num: int = 16,
+                 beta_dim: int = 10) -> Dict[str, jnp.ndarray]:
+    """[cam(3) | orient(rot_dim) | pose((theta_num-1)*rot_dim) | betas]
+    -> decoded dict.
 
-    6D rotations are converted to axis-angle and concatenated to the
-    48-dim MANO pose vector (reference: acr/result_parser.py:24-34).
+    With ``Rot_type='6D'`` (the demo config) rotations are Gram-Schmidt
+    decoded to axis-angle; with 'angular' they pass through untouched —
+    the reference applies the 6D conversion only under that flag
+    (reference: acr/result_parser.py:24-34, 30-33).
     """
+    orient_w = rot_dim
+    pose_w = (theta_num - 1) * rot_dim
     cam = params109[..., :CAM_DIM]
-    orient6 = params109[..., CAM_DIM:CAM_DIM + ROT6D]
-    pose6 = params109[..., CAM_DIM + ROT6D:CAM_DIM + ROT6D + POSE6D]
-    betas = params109[..., CAM_DIM + ROT6D + POSE6D:]
-    global_orient = rot6d_to_axis_angle(orient6)
-    hand_pose = rot6d_to_axis_angle(pose6)
+    orient = params109[..., CAM_DIM:CAM_DIM + orient_w]
+    pose = params109[..., CAM_DIM + orient_w:CAM_DIM + orient_w + pose_w]
+    betas = params109[..., CAM_DIM + orient_w + pose_w:
+                      CAM_DIM + orient_w + pose_w + beta_dim]
+    if rot_type == "6D":
+        global_orient = rot6d_to_axis_angle(orient)
+        hand_pose = rot6d_to_axis_angle(pose)
+    else:
+        global_orient, hand_pose = orient, pose
     poses = jnp.concatenate([global_orient, hand_pose], axis=-1)
     return {"cam": cam, "global_orient": global_orient,
             "hand_pose": hand_pose, "betas": betas, "poses": poses}
@@ -89,6 +102,12 @@ def parse_outputs(outputs: Dict[str, jnp.ndarray],
                   prior_gate_px: float = 32.0,
                   centermap_size: int = 64,
                   merge_params: Optional[Dict[str, jnp.ndarray]] = None,
+                  nms_kernel: int = 5,
+                  max_hand: int = 1,
+                  rot_type: str = "6D",
+                  rot_dim: int = 6,
+                  theta_num: int = 16,
+                  beta_dim: int = 10,
                   ) -> ParsedHands:
     """Decode network output maps into per-hand parameters.
 
@@ -96,23 +115,35 @@ def parse_outputs(outputs: Dict[str, jnp.ndarray],
     two centers' euclidean distance *in 64-map cell units* against the
     threshold (reference: result_parser.py:44-46 compares map coords
     against 32 directly, i.e. half the map — 256px at 512 input).
-    """
-    l_dec = decode_centers(outputs["l_center_map"], 1, conf_thresh)
-    r_dec = decode_centers(outputs["r_center_map"], 1, conf_thresh)
 
+    ``nms_kernel`` is the reference's ``kernel_sizes[-1]`` pool kernel
+    (result_parser.py:219); ``max_hand`` is its top-K candidate width
+    (K=max_hand at train, best slot at inference —
+    result_parser.py:221-224). Maps may arrive in compute dtype (bf16);
+    the sampled per-hand vectors are cast to fp32 here, so all rotation
+    math downstream runs full-precision while the big maps never pay an
+    fp32 materialization in HBM.
+    """
+    l_dec = decode_centers(outputs["l_center_map"], max_hand, conf_thresh,
+                           nms_kernel=nms_kernel)
+    r_dec = decode_centers(outputs["r_center_map"], max_hand, conf_thresh,
+                           nms_kernel=nms_kernel)
+
+    # slot 0 = highest-score candidate (inference K=1 semantics)
     l_valid, r_valid = l_dec.valid[:, 0], r_dec.valid[:, 0]
     # hand-missing fallback: sample index 0 (reference: result_parser.py:107-120)
     l_ind = jnp.where(l_valid, l_dec.flat_inds[:, 0], 0)
     r_ind = jnp.where(r_valid, r_dec.flat_inds[:, 0], 0)
 
-    l_params = sample_at_index(outputs["l_params_maps"], l_ind)   # (B, 109)
-    r_params = sample_at_index(outputs["r_params_maps"], r_ind)
+    f32 = lambda t: t.astype(jnp.float32)
+    l_params = f32(sample_at_index(outputs["l_params_maps"], l_ind))  # (B, 109)
+    r_params = f32(sample_at_index(outputs["r_params_maps"], r_ind))
 
     both = l_valid & r_valid
     if prior_mode in ("cross", "merge") and outputs.get("l_prior_maps") is not None:
         # sample each prior map at the OTHER hand's center
-        l_prior = sample_at_index(outputs["l_prior_maps"], r_ind)  # (B, 106)
-        r_prior = sample_at_index(outputs["r_prior_maps"], l_ind)
+        l_prior = f32(sample_at_index(outputs["l_prior_maps"], r_ind))  # (B, 106)
+        r_prior = f32(sample_at_index(outputs["r_prior_maps"], l_ind))
         # zero the prior when centers are far apart (determine_coeff)
         dist = jnp.linalg.norm(l_dec.yx[:, 0] - r_dec.yx[:, 0], axis=-1)
         gate = (both & (dist <= prior_gate_px))[:, None].astype(l_prior.dtype)
@@ -131,7 +162,8 @@ def parse_outputs(outputs: Dict[str, jnp.ndarray],
                 jnp.where(mgate, merged[:, 106:], r_params[:, CAM_DIM:]))
 
     params = jnp.stack([l_params, r_params], axis=1)              # (B, 2, 109)
-    decoded = split_params(params)
+    decoded = split_params(params, rot_type=rot_type, rot_dim=rot_dim,
+                           theta_num=theta_num, beta_dim=beta_dim)
 
     # centers as (x, y) map coords (reference: result_parser.py:173-174)
     centers = jnp.stack([
@@ -139,8 +171,8 @@ def parse_outputs(outputs: Dict[str, jnp.ndarray],
         jnp.stack([r_ind % centermap_size, r_ind // centermap_size], -1),
     ], axis=1).astype(jnp.float32)
     conf = jnp.stack([
-        sample_at_index(outputs["l_center_map"], l_ind)[:, 0],
-        sample_at_index(outputs["r_center_map"], r_ind)[:, 0],
+        f32(sample_at_index(outputs["l_center_map"], l_ind)[:, 0]),
+        f32(sample_at_index(outputs["r_center_map"], r_ind)[:, 0]),
     ], axis=1)
 
     return ParsedHands(

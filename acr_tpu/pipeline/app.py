@@ -248,17 +248,29 @@ class ACRApp:
     run_video = run_folder    # video mode = split to frames, then folder mode
 
     def _run_batched(self, file_list) -> Dict:
-        """Throughput path: fixed-size batches through the jitted step,
-        whole-sequence OneEuro via lax.scan, then per-frame rendering.
+        """Throughput path: fixed-size batches through the jitted step.
 
         One compilation serves every chunk (the last one is padded by
-        repeating its final frame and trimmed after). Memory stays
-        bounded on long videos: frames are decoded chunk by chunk and
-        re-decoded for rendering; only the small per-frame outputs
-        (poses/betas/cam/offsets/...) persist for the whole sequence.
+        repeating its final frame and trimmed after). Each frame is
+        decoded and preprocessed exactly ONCE: rendering reuses the
+        chunk's decoded frames/metas instead of a second cv2.imread +
+        cubic resize (the host is single-core; double decode dominated
+        visualized video wall-clock in round 1).
+
+        Temporal smoothing runs chunk-wise with the OneEuro filter state
+        carried across chunks — the filter is strictly causal, so this
+        is mathematically identical to one whole-sequence lax.scan
+        (tests/test_app.py pins the equality). Padded tail frames only
+        advance the state after the last real frame, which nothing
+        consumes. Memory stays bounded: only one chunk's frames are
+        alive at a time, plus the small per-frame result dicts.
         """
         import cv2
         bs = self.cfg.val_batch_size
+        seq = None
+        if self.cfg.temporal_optimization:
+            seq = jax.jit(lambda st, p, b, d: smooth_sequence(
+                st, p, b, d, self.cfg.smooth_coeff))
 
         def read_frame(path):
             frame = cv2.imread(path)
@@ -267,14 +279,14 @@ class ACRApp:
                 frame = np.zeros((64, 64, 3), np.uint8)
             return frame
 
+        results: Dict = {}
         total = len(file_list)
-        chunks, offsets_all = [], []
         for i in range(0, total, bs):
             batch_paths = file_list[i:i + bs]
+            frames = [read_frame(p) for p in batch_paths]
             with self.timer.stage("preprocess"):
-                metas = [img_preprocess(read_frame(p), p,
-                                        input_size=self.cfg.input_size)
-                         for p in batch_paths]
+                metas = [img_preprocess(f, p, input_size=self.cfg.input_size)
+                         for f, p in zip(frames, batch_paths)]
             img_c = np.concatenate([m["image"] for m in metas])
             off_c = np.concatenate([m["offsets"] for m in metas])
             pad = bs - len(img_c)
@@ -285,52 +297,34 @@ class ACRApp:
                     [off_c, np.repeat(off_c[-1:], pad, axis=0)])
             with self.timer.stage("device_step"):
                 o = self.pipeline(img_c, off_c)
+                if seq is not None:
+                    self.filter_state, poses, betas = seq(
+                        self.filter_state, o["poses"], o["betas"],
+                        o["detection_flag"])
+                    o["poses"], o["betas"] = poses, betas
+                    o.update(self.pipeline.refine(poses, betas,
+                                                  o["cam"], off_c))
                 o = jax.device_get(o)
             keep = bs - pad
-            offsets_all.append(off_c[:keep])
-            chunks.append(jax.tree.map(lambda v: np.asarray(v)[:keep], o))
-        out = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
-        offsets = np.concatenate(offsets_all)
+            chunk = jax.tree.map(lambda v: np.asarray(v)[:keep], o)
 
-        if self.cfg.temporal_optimization:
-            with self.timer.stage("smooth"):
-                seq = jax.jit(lambda st, p, b, d: smooth_sequence(
-                    st, p, b, d, self.cfg.smooth_coeff))
-                self.filter_state, poses, betas = seq(
-                    self.filter_state, out["poses"], out["betas"],
-                    out["detection_flag"])
-                out["poses"] = np.asarray(poses)
-                out["betas"] = np.asarray(betas)
-                for i in range(0, total, bs):
-                    sl = slice(i, min(i + bs, total))
-                    pad = bs - (sl.stop - sl.start)
-                    padded = lambda a: (np.concatenate(
-                        [a[sl], np.repeat(a[sl][-1:], pad, axis=0)])
-                        if pad else a[sl])
-                    ref = self.pipeline.refine(
-                        padded(out["poses"]), padded(out["betas"]),
-                        padded(out["cam"]), padded(offsets))
-                    for k, v in jax.device_get(ref).items():
-                        out[k][sl] = np.asarray(v)[:sl.stop - sl.start]
+            if not self.cfg.jit_translation_solve:
+                self._host_translation(chunk)
+            results.update(reorganize_results(chunk, batch_paths))
 
-        if not self.cfg.jit_translation_solve:
-            self._host_translation(out)
-
-        results = reorganize_results(out, file_list)
-        for i, path in enumerate(file_list):
-            frame = read_frame(path)
-            if not np.asarray(out["detection_flag"][i]).any():
-                self._emit_frame(frame, path)
-                continue
-            if self.visualizer is not None:
-                one = {k: v[i:i + 1] for k, v in out.items()}
-                meta = img_preprocess(frame, path,
-                                      input_size=self.cfg.input_size)
-                with self.timer.stage("render"):
-                    rendered = self.visualizer.render_on_frame(frame, one, meta)
-                self._emit_frame(rendered, path)
-            else:
-                self._emit_frame(frame, path)
+            for k, (path, frame, meta) in enumerate(
+                    zip(batch_paths, frames, metas)):
+                if not np.asarray(chunk["detection_flag"][k]).any():
+                    self._emit_frame(frame, path)
+                    continue
+                if self.visualizer is not None:
+                    one = {key: v[k:k + 1] for key, v in chunk.items()}
+                    with self.timer.stage("render"):
+                        rendered = self.visualizer.render_on_frame(
+                            frame, one, meta)
+                    self._emit_frame(rendered, path)
+                else:
+                    self._emit_frame(frame, path)
         return results
 
     def run_webcam(self):

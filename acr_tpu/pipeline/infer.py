@@ -92,7 +92,13 @@ def forward_fn(net: ACRNet,
         prior_mode=cfg.prior_mode if cfg.inter_prior else "none",
         prior_gate_px=cfg.prior_gate_px,
         centermap_size=cfg.centermap_size,
-        merge_params=merge_params)
+        merge_params=merge_params,
+        nms_kernel=cfg.kernel_sizes[-1],
+        max_hand=cfg.max_hand,
+        rot_type=cfg.Rot_type,
+        rot_dim=cfg.rot_dim,
+        theta_num=cfg.mano_theta_num,
+        beta_dim=cfg.beta_dim)
 
     out = {
         "params": parsed.params,
@@ -106,9 +112,11 @@ def forward_fn(net: ACRNet,
     out.update(_mano_projection_tail(mano_l, mano_r, parsed.poses,
                                      parsed.betas, parsed.cam, offsets, cfg))
     if return_maps:
-        out["l_center_map"] = outputs["l_center_map"]
-        out["r_center_map"] = outputs["r_center_map"]
-        out["segms"] = outputs["segms"]
+        # host-side viz consumers (cv2/np) don't speak bfloat16; the
+        # cast happens only on this explicitly-requested path
+        out["l_center_map"] = outputs["l_center_map"].astype(jnp.float32)
+        out["r_center_map"] = outputs["r_center_map"].astype(jnp.float32)
+        out["segms"] = outputs["segms"].astype(jnp.float32)
     return out
 
 
@@ -129,7 +137,10 @@ class ACRPipeline:
     def __init__(self, cfg: Config, params: Optional[Dict[str, Any]] = None):
         self.cfg = cfg
         dtype = jnp.bfloat16 if cfg.model_precision == "bf16" else jnp.float32
-        self.net = ACRNet(dtype=dtype)
+        self.net = ACRNet(dtype=dtype, inter_prior=cfg.inter_prior,
+                          head_block_num=cfg.head_block_num,
+                          params_ch=cfg.map_channels,
+                          offset_mode=cfg.offset_mode)
         self.params = params if params is not None else load_params(cfg.model_path)
         # merge-mode cross-hand fusion head (converted from the reference's
         # ResultParser.fusion_fc_end) is carried outside the network tree
@@ -152,25 +163,42 @@ class ACRPipeline:
         jit_kwargs = {}
         if cfg.data_parallel > 1:
             from acr_tpu.parallel.mesh import (
-                batch_sharding, make_mesh, replicated_sharding)
-            self.mesh = make_mesh(cfg.data_parallel)
-            self._batch_sharding = batch_sharding(self.mesh)
+                batch_sharding, init_distributed, make_mesh,
+                replicated_sharding)
+            # multi-host: join the distributed runtime first so the
+            # mesh spans every process's devices (DCN data parallelism)
+            init_distributed(cfg.coordinator, cfg.num_processes,
+                             cfg.process_id)
+            self.mesh = make_mesh(cfg.data_parallel,
+                                  axis_name=cfg.mesh_axes[0])
+            self._batch_sharding = batch_sharding(
+                self.mesh, axis_name=cfg.mesh_axes[0])
             rep = replicated_sharding(self.mesh)
             jit_kwargs = dict(
                 in_shardings=(rep, rep, rep, self._batch_sharding,
                               self._batch_sharding),
                 out_shardings=rep)
 
+        # the frame/offset buffers are fresh per call and never reused
+        # on the host — donate them so the runtime reclaims their HBM at
+        # execution instead of at Python GC time (SURVEY.md §7 step 8).
+        # The uint8 image can never alias the fp32 outputs, so XLA's
+        # "donated buffers were not usable" note is expected, not a bug.
+        import warnings
+        warnings.filterwarnings(
+            "ignore", message="Some donated buffers were not usable")
         self._jit_forward = jax.jit(
             lambda p, ml, mr, img, off: forward_fn(
                 self.net, p, ml, mr, img, off, cfg,
                 merge_params=self.merge_params),
+            donate_argnums=(3, 4),
             **jit_kwargs,
         )
         self._jit_forward_maps = jax.jit(
             lambda p, ml, mr, img, off: forward_fn(
                 self.net, p, ml, mr, img, off, cfg, return_maps=True,
                 merge_params=self.merge_params),
+            donate_argnums=(3, 4),
             **jit_kwargs,
         )
         self._jit_refine = jax.jit(

@@ -17,7 +17,10 @@ class ConfigSession:
     def __init__(self, cfg, out_dir: str = "active_configs"):
         self.cfg = cfg
         stamp = time.strftime("%Y-%m-%d_%H_%M_%S")
-        self.path = os.path.join(out_dir, f"active_context_{stamp}.yaml")
+        # cfg.tab names the session, like the reference's decorated tab
+        # in the active-config filename (acr/config.py:217,241)
+        tag = str(getattr(cfg, "tab", "ACR")).replace(os.sep, "_")
+        self.path = os.path.join(out_dir, f"{tag}_{stamp}.yaml")
 
     def __enter__(self):
         os.makedirs(os.path.dirname(self.path), exist_ok=True)

@@ -60,6 +60,31 @@ def _project(verts: jnp.ndarray, focal: float, cx: float, cy: float):
     return jnp.stack([u, v, z], axis=-1)
 
 
+def fov_focal_px(fov_deg: float, size: int) -> float:
+    """Pixel focal length of a FoV perspective camera.
+
+    pytorch3d's FoVPerspectiveCameras(fov) maps the half-FoV to the NDC
+    edge, i.e. focal = (size/2) / tan(fov/2) in pixels
+    (reference: acr/renderer/renderer_pt3d.py:74-86, fov=args().FOV).
+    """
+    return (size / 2.0) / float(np.tan(np.radians(fov_deg) / 2.0))
+
+
+def _project_ortho(verts: jnp.ndarray, half: float, cx: float, cy: float):
+    """FoV-orthographic projection: parallel rays, unit NDC box.
+
+    pytorch3d's FoVOrthographicCameras with the default [-1, 1] extents
+    (reference: renderer_pt3d.py:88-110); its xy negation + NDC->screen
+    flip compose to the same image-down pixel convention as the pinhole
+    path, so u = cx + (size/2) * x. Depth is camera z (still z-buffered
+    so self-occlusion resolves; no perspective foreshortening).
+    """
+    u = half * verts[:, 0] + cx
+    v = half * verts[:, 1] + cy
+    z = jnp.maximum(verts[:, 2], 1e-4)
+    return jnp.stack([u, v, z], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("height", "width", "row_tile",
                                              "face_chunk"))
 def rasterize(verts_screen: jnp.ndarray,
@@ -160,14 +185,17 @@ def shade(face_id: jnp.ndarray, bary: jnp.ndarray, faces: jnp.ndarray,
     return jnp.concatenate([rgb * alpha[..., None], alpha[..., None]], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("size", "focal", "backend"))
+@functools.partial(jax.jit, static_argnames=("size", "focal", "backend",
+                                             "camera", "fov_deg"))
 def render_hands(verts: jnp.ndarray,
                  cam_trans: jnp.ndarray,
                  detection_flag: jnp.ndarray,
                  faces: jnp.ndarray,
                  size: int = 512,
                  focal: float = 1265.0,
-                 backend: str = "auto") -> jnp.ndarray:
+                 backend: str = "auto",
+                 camera: str = "intrinsics",
+                 fov_deg: float = 22.5) -> jnp.ndarray:
     """Render both hand meshes of one image -> (size, size, 4) RGBA.
 
     verts (2, 778, 3) root-relative; cam_trans (2, 3) metric camera
@@ -178,6 +206,12 @@ def render_hands(verts: jnp.ndarray,
     backend: 'pallas' (VMEM-resident kernel, ~14x faster on TPU),
     'scan' (pure lax.scan, any platform), or 'auto' (pallas on TPU
     backends, scan on CPU).
+
+    camera: 'intrinsics' (pyrender IntrinsicsCamera with ``focal``,
+    reference: renderer_pyrd.py:20-47), 'fov' (pytorch3d
+    FoVPerspectiveCameras(fov=fov_deg), reference:
+    renderer_pt3d.py:74-86), or 'ortho' (FoVOrthographicCameras,
+    renderer_pt3d.py:88-110).
     """
     v_world = verts + cam_trans[:, None, :]            # (2, 778, 3)
     all_verts = v_world.reshape(-1, 3)
@@ -190,12 +224,24 @@ def render_hands(verts: jnp.ndarray,
         [all_faces, jnp.zeros((pad, 3), all_faces.dtype)], axis=0)
 
     normals = compute_vertex_normals(all_verts, all_faces)
-    screen = _project(all_verts, focal, size / 2.0, size / 2.0)
+    if camera == "ortho":
+        screen = _project_ortho(all_verts, size / 2.0, size / 2.0, size / 2.0)
+    else:
+        f = fov_focal_px(fov_deg, size) if camera == "fov" else focal
+        screen = _project(all_verts, f, size / 2.0, size / 2.0)
     if backend == "auto":
         backend = "scan" if jax.default_backend() == "cpu" else "pallas"
     if backend == "pallas":
-        from acr_tpu.viz.raster_pallas import rasterize_pallas
-        face_id, bary = rasterize_pallas(screen, all_faces, size, size)
+        from acr_tpu.viz.raster_pallas import (
+            BIN_CAP, rasterize_pallas, rasterize_pallas_binned)
+        if all_faces.shape[0] > BIN_CAP:
+            # bbox-binned per-tile face lists: O(pixels x faces/tile)
+            # instead of O(pixels x faces) — the 2048px path, and ~4x
+            # fewer face chunks even at 512px
+            face_id, bary = rasterize_pallas_binned(screen, all_faces,
+                                                    size, size)
+        else:
+            face_id, bary = rasterize_pallas(screen, all_faces, size, size)
     else:
         face_id, bary = rasterize(screen, all_faces, size, size)
 

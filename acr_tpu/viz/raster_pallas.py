@@ -32,6 +32,8 @@ FACE_CHUNK = 128      # lane-slice alignment: dynamic slices must be 128-aligned
 
 COL_TILE = 256        # width tile: keeps (8, 256, 128) intermediates in VMEM
 
+BIN_CAP = 512         # default per-tile face capacity for the binned kernel
+
 
 def _raster_kernel(tri_ref, inv_ref, fid_ref, b0_ref, b1_ref, *,
                    n_chunks: int, col_tile: int):
@@ -105,6 +107,193 @@ def _raster_kernel(tri_ref, inv_ref, fid_ref, b0_ref, b1_ref, *,
     fid_ref[:] = fid
     b0_ref[:] = b0c
     b1_ref[:] = b1c
+
+
+def _raster_kernel_binned(tri_ref, inv_ref, ids_ref, fid_ref, b0_ref, b1_ref,
+                          *, n_chunks: int, col_tile: int):
+    """Like _raster_kernel, but over THIS tile's binned face list.
+
+    tri_ref: (1, 16, CAP) gathered triangle rows for the tile;
+    inv_ref: (1, 1, CAP) inverse areas (0 for empty/degenerate slots);
+    ids_ref: (1, 1, CAP) int32 global face ids (-1 for empty slots).
+    """
+    tile_r = pl.program_id(0)
+    tile_c = pl.program_id(1)
+    px = (jax.lax.broadcasted_iota(
+        jnp.int32, (ROW_TILE, col_tile), 1).astype(jnp.float32)
+        + tile_c * col_tile + 0.5)
+    py = (jax.lax.broadcasted_iota(
+        jnp.int32, (ROW_TILE, col_tile), 0).astype(jnp.float32)
+        + tile_r * ROW_TILE + 0.5)
+    width = col_tile
+
+    def chunk_step(ci, carry):
+        zbuf, fid, b0c, b1c = carry
+        sl = pl.multiple_of(ci * FACE_CHUNK, FACE_CHUNK)
+        ax = tri_ref[0, 0, pl.ds(sl, FACE_CHUNK)]
+        ay = tri_ref[0, 1, pl.ds(sl, FACE_CHUNK)]
+        az = tri_ref[0, 2, pl.ds(sl, FACE_CHUNK)]
+        bx = tri_ref[0, 3, pl.ds(sl, FACE_CHUNK)]
+        by = tri_ref[0, 4, pl.ds(sl, FACE_CHUNK)]
+        bz = tri_ref[0, 5, pl.ds(sl, FACE_CHUNK)]
+        cx = tri_ref[0, 6, pl.ds(sl, FACE_CHUNK)]
+        cy = tri_ref[0, 7, pl.ds(sl, FACE_CHUNK)]
+        cz = tri_ref[0, 8, pl.ds(sl, FACE_CHUNK)]
+        inv = inv_ref[0, 0, pl.ds(sl, FACE_CHUNK)]
+        gids = ids_ref[0, 0, pl.ds(sl, FACE_CHUNK)]
+
+        gx = px[:, :, None]
+        gy = py[:, :, None]
+        w0 = ((cx - bx)[None, None, :] * (gy - by[None, None, :])
+              - (cy - by)[None, None, :] * (gx - bx[None, None, :])) \
+            * inv[None, None, :]
+        w1 = ((ax - cx)[None, None, :] * (gy - cy[None, None, :])
+              - (ay - cy)[None, None, :] * (gx - cx[None, None, :])) \
+            * inv[None, None, :]
+        w2 = 1.0 - w0 - w1
+        inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+                  & (inv != 0.0)[None, None, :])
+        depth = (w0 * az[None, None, :] + w1 * bz[None, None, :]
+                 + w2 * cz[None, None, :])
+        depth = jnp.where(inside, depth, jnp.inf)
+
+        best = jnp.argmin(depth, axis=-1)                     # (8, W)
+        lane = jax.lax.broadcasted_iota(jnp.int32,
+                                        (ROW_TILE, width, FACE_CHUNK), 2)
+        onehot = lane == best[..., None]
+        best_z = jnp.min(depth, axis=-1)
+        pickf = lambda w: jnp.sum(jnp.where(onehot, w, 0.0), axis=-1)
+        picki = jnp.sum(jnp.where(onehot, gids[None, None, :], 0), axis=-1)
+        win = best_z < zbuf
+        zbuf = jnp.where(win, best_z, zbuf)
+        fid = jnp.where(win, picki, fid)
+        b0c = jnp.where(win, pickf(w0), b0c)
+        b1c = jnp.where(win, pickf(w1), b1c)
+        return zbuf, fid, b0c, b1c
+
+    init = (jnp.full((ROW_TILE, col_tile), jnp.inf, jnp.float32),
+            jnp.full((ROW_TILE, col_tile), -1, jnp.int32),
+            jnp.zeros((ROW_TILE, col_tile), jnp.float32),
+            jnp.zeros((ROW_TILE, col_tile), jnp.float32))
+    zbuf, fid, b0c, b1c = jax.lax.fori_loop(0, n_chunks, chunk_step, init)
+    fid_ref[:] = fid
+    b0_ref[:] = b0c
+    b1_ref[:] = b1c
+
+
+def _bin_faces(tri_rows: jnp.ndarray, inv_area: jnp.ndarray,
+               height: int, width: int, col_tile: int, cap: int):
+    """Bin faces into fixed-capacity per-tile lists by bbox overlap.
+
+    tri_rows (16, F), inv_area (1, F) -> gathered
+    (T, 16, cap) triangle rows, (T, 1, cap) inverse areas,
+    (T, 1, cap) int32 global ids; T = (H/8) * (W/col_tile) tiles in
+    row-major grid order.
+
+    Faces are kept in FACE-ID order within each tile (stable sort), so
+    while every tile stays under capacity the winner selection —
+    including shared-edge depth ties — is bit-identical to the
+    unbinned kernel. A tile whose overlap count exceeds ``cap`` drops
+    the highest-id faces (MANO hand meshes peak at a few hundred faces
+    per 8x256px band, far below the default 512).
+    """
+    f_total = tri_rows.shape[1]
+    n_ty = height // ROW_TILE
+    n_tx = width // col_tile
+    xs = tri_rows[jnp.array([0, 3, 6])]           # (3, F)
+    ys = tri_rows[jnp.array([1, 4, 7])]
+    xmin, xmax = xs.min(0), xs.max(0)
+    ymin, ymax = ys.min(0), ys.max(0)
+
+    ty = jnp.arange(n_ty, dtype=jnp.float32) * ROW_TILE
+    tx = jnp.arange(n_tx, dtype=jnp.float32) * col_tile
+    # pixel centers in a tile span [t0 + 0.5, t0 + tile - 0.5]
+    y_hit = ((ymin[None, :] <= ty[:, None] + ROW_TILE)
+             & (ymax[None, :] >= ty[:, None]))              # (Ty, F)
+    x_hit = ((xmin[None, :] <= tx[:, None] + col_tile)
+             & (xmax[None, :] >= tx[:, None]))              # (Tx, F)
+    live = (inv_area[0] != 0.0)
+    overlap = (y_hit[:, None, :] & x_hit[None, :, :]
+               & live[None, None, :]).reshape(n_ty * n_tx, f_total)
+
+    # stable argsort: overlapping faces first, original id order kept
+    order = jnp.argsort(~overlap, axis=1, stable=True)[:, :cap]  # (T, cap)
+    slot_live = jnp.take_along_axis(overlap, order, axis=1)     # (T, cap)
+
+    tri_t = tri_rows.T[order]                    # (T, cap, 16)
+    tri_t = tri_t.transpose(0, 2, 1)             # (T, 16, cap)
+    inv_t = inv_area[0][order] * slot_live       # empty slots -> 0
+    ids_t = jnp.where(slot_live, order.astype(jnp.int32), -1)
+    return tri_t, inv_t[:, None, :], ids_t[:, None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "bin_cap",
+                                             "interpret"))
+def rasterize_pallas_binned(verts_screen: jnp.ndarray, faces: jnp.ndarray,
+                            height: int, width: int, bin_cap: int = 512,
+                            interpret: bool = False
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Binned variant of rasterize_pallas: O(pixels x faces-per-tile).
+
+    The flat kernel sweeps EVERY face for every pixel tile — linear in
+    image area x face count, ~350 ms/frame extrapolated at 2048px. Here
+    a JAX prestage bins faces by bbox into fixed-capacity per-tile
+    lists (one stable argsort + gather), and the kernel folds only its
+    own tile's ``bin_cap`` slots: 26 face chunks become 4 at the
+    default capacity. Same output contract as rasterize_pallas /
+    viz.raster.rasterize; bit-identical while no tile overflows
+    ``bin_cap`` (see _bin_faces).
+    """
+    f_total = faces.shape[0]
+    assert f_total % FACE_CHUNK == 0
+    assert bin_cap % FACE_CHUNK == 0
+    bin_cap = min(bin_cap, f_total)      # capacity beyond F is vacuous
+    col_tile = min(COL_TILE, width)
+    assert height % ROW_TILE == 0 and width % col_tile == 0
+    n_ty, n_tx = height // ROW_TILE, width // col_tile
+    n_chunks = bin_cap // FACE_CHUNK
+
+    tri = verts_screen[faces]                        # (F, 3, 3)
+    tri_rows = tri.transpose(1, 2, 0).reshape(9, f_total)
+    tri_rows = jnp.concatenate(
+        [tri_rows, jnp.zeros((7, f_total), tri_rows.dtype)], axis=0)
+    xs = tri[:, :, 0]
+    ys = tri[:, :, 1]
+    area = ((xs[:, 1] - xs[:, 0]) * (ys[:, 2] - ys[:, 0])
+            - (xs[:, 2] - xs[:, 0]) * (ys[:, 1] - ys[:, 0]))
+    inv_area = jnp.where(jnp.abs(area) < 1e-9, 0.0, 1.0 / area)[None, :]
+
+    tri_t, inv_t, ids_t = _bin_faces(tri_rows, inv_area, height, width,
+                                     col_tile, bin_cap)
+
+    kernel = functools.partial(_raster_kernel_binned, n_chunks=n_chunks,
+                               col_tile=col_tile)
+    grid = (n_ty, n_tx)
+    out_spec = pl.BlockSpec((ROW_TILE, col_tile), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    tile_ix = lambda i, j: (i * n_tx + j, 0, 0)
+    fid, b0, b1 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 16, bin_cap), tile_ix,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bin_cap), tile_ix,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bin_cap), tile_ix,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((height, width), jnp.int32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tri_t, inv_t, ids_t)
+    bary = jnp.stack([b0, b1, 1.0 - b0 - b1], axis=-1)
+    bary = jnp.where((fid >= 0)[..., None], bary, 0.0)
+    return fid, bary
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "interpret"))

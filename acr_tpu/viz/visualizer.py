@@ -67,6 +67,18 @@ class Visualizer:
         self.cfg = cfg
         self.faces = jnp.asarray(faces.astype(np.int32))   # (2, 1538, 3)
         self.skeleton = hand_skeleton()
+        # resolve the projection once: 'pt3d' mirrors the pytorch3d
+        # backend's rule — FoVPerspective when perspective_proj else
+        # FoVOrthographic (reference: renderer_pt3d.py:74-110)
+        cm = cfg.camera_model
+        if cm == "pt3d":
+            cm = "fov" if cfg.perspective_proj else "ortho"
+        self.camera = cm
+        if cfg.renderer == "native" and cm != "intrinsics":
+            raise ValueError(
+                "the native C++ rasterizer implements the intrinsics "
+                f"camera only; camera_model={cfg.camera_model!r} needs "
+                "renderer='tpu'")
 
     # ------------------------------------------------------------------
     def render_rgba(self, out: Dict, batch_idx: int = 0) -> np.ndarray:
@@ -81,7 +93,8 @@ class Visualizer:
         rgba = render_hands(
             out["verts"][batch_idx], out["cam_trans"][batch_idx],
             out["detection_flag"][batch_idx], self.faces,
-            size=self.cfg.render_size, focal=float(self.cfg.focal_length))
+            size=self.cfg.render_size, focal=float(self.cfg.focal_length),
+            camera=self.camera, fov_deg=float(self.cfg.FOV))
         return np.asarray(rgba)
 
     def _render_native(self, out: Dict, batch_idx: int) -> np.ndarray:
@@ -152,7 +165,8 @@ class Visualizer:
         return render_hands(
             out["verts"][batch_idx], out["cam_trans"][batch_idx],
             out["detection_flag"][batch_idx], self.faces,
-            size=self.cfg.render_size, focal=float(self.cfg.focal_length))
+            size=self.cfg.render_size, focal=float(self.cfg.focal_length),
+            camera=self.camera, fov_deg=float(self.cfg.FOV))
 
     def compose_on_frame(self, rgba: np.ndarray, bgr_frame: np.ndarray,
                          meta: Dict) -> np.ndarray:

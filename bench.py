@@ -1,13 +1,21 @@
 #!/usr/bin/env python
 """Benchmark: two-hand 512px end-to-end inference throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 Baseline target: 60 FPS (BASELINE.md — ">60 FPS two-hand 512px
 inference on one v5e chip"), so vs_baseline = fps / 60.
 
 Measures the full jitted chain (backbone -> heads -> parser -> MANO ->
-projection -> translation solve) at batch 1 (latency path), after
-compile warmup. Uses real assets when present, synthetic otherwise.
+projection -> translation solve) in two configs: bf16/batch-8 (the
+per-chip throughput sweet spot; the headline metric) and fp32/batch-1
+(the demo-default latency path), reported in "extra".
+
+Timing methodology: on this toolchain `block_until_ready` can return
+before compute finishes (docs/PERFORMANCE.md), so the timed region ends
+with a device->host READBACK of one small output, which provably forces
+the whole program. One readback round trip (~46-63 ms here, measured
+per run) is subtracted, since it is relay-transport cost, not device
+time; both the corrected and uncorrected FPS are reported.
 """
 
 from __future__ import annotations
@@ -21,9 +29,53 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
-def main():
+def _measure(precision: str, batch: int, iters: int):
     import jax
     import numpy as np
+    import __graft_entry__ as ge
+
+    fn, cfg = ge._build(512, precision=precision)
+    image = np.random.RandomState(0).randint(
+        0, 255, (batch, 512, 512, 3)).astype(np.uint8)
+    offsets = np.tile(np.array(
+        [[512, 512, 0, 0, 0, 0, 0, 0, 0, 0]], np.float32), (batch, 1))
+
+    jfn = jax.jit(fn)
+    img_d = jax.device_put(image)
+    off_d = jax.device_put(offsets)
+
+    def force(out):
+        # a readback provably drains the device queue (block_until_ready
+        # can return early through the relayed transport here)
+        return float(np.asarray(out["cam_trans"]).sum())
+
+    force(jfn(img_d, off_d))            # compile
+    for _ in range(3):
+        force(jfn(img_d, off_d))        # warmup
+
+    # measure one readback round trip on an already-complete result
+    out = jfn(img_d, off_d)
+    jax.block_until_ready(out)
+    time.sleep(0.05)
+    t = time.perf_counter()
+    force(out)
+    readback_s = time.perf_counter() - t
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jfn(img_d, off_d)
+    force(out)                          # timed region ENDS with a readback
+    dt_raw = time.perf_counter() - t0
+    dt = max(dt_raw - readback_s, 1e-9)
+    return {
+        "fps": round(iters * batch / dt, 2),
+        "fps_uncorrected": round(iters * batch / dt_raw, 2),
+        "readback_ms": round(readback_s * 1e3, 1),
+    }
+
+
+def main():
+    import jax
 
     # persistent compile cache: the 512px program takes minutes to build
     # cold; cached reruns start in seconds
@@ -36,43 +88,38 @@ def main():
         pass
 
     import __graft_entry__ as ge
-
     ge._ensure_assets()
-    # defaults = the per-chip throughput sweet spot (BASELINE.md's metric
-    # is ">60 FPS per chip"); ACR_BENCH_PRECISION=fp32 ACR_BENCH_BATCH=1
-    # measures the latency/demo-default config (see docs/PERFORMANCE.md)
-    precision = os.environ.get("ACR_BENCH_PRECISION", "bf16")
-    batch = int(os.environ.get("ACR_BENCH_BATCH", "8"))
-    fn, cfg = ge._build(512, precision=precision)
-
-    image = np.random.RandomState(0).randint(
-        0, 255, (batch, 512, 512, 3)).astype(np.uint8)
-    offsets = np.tile(np.array(
-        [[512, 512, 0, 0, 0, 0, 0, 0, 0, 0]], np.float32), (batch, 1))
-
-    jfn = jax.jit(fn)
-    img_d = jax.device_put(image)
-    off_d = jax.device_put(offsets)
-
-    # compile + warmup
-    out = jfn(img_d, off_d)
-    jax.block_until_ready(out)
-    for _ in range(3):
-        jax.block_until_ready(jfn(img_d, off_d))
 
     iters = int(os.environ.get("ACR_BENCH_ITERS", "30"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jfn(img_d, off_d)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = iters * batch / dt
+    # env overrides measure a single config (see docs/PERFORMANCE.md)
+    precision = os.environ.get("ACR_BENCH_PRECISION")
+    batch = os.environ.get("ACR_BENCH_BATCH")
+    if precision or batch:
+        precision = precision or "bf16"
+        batch = int(batch or 8)
+        r = _measure(precision, batch, iters)
+        extra = {"readback_ms": r["readback_ms"],
+                 "fps_uncorrected": r["fps_uncorrected"]}
+        metric = f"two_hand_512px_inference_fps_b{batch}_{precision}"
+        fps = r["fps"]
+    else:
+        hot = _measure("bf16", 8, iters)
+        demo = _measure("fp32", 1, iters)
+        metric = "two_hand_512px_inference_fps_b8_bf16"
+        fps = hot["fps"]
+        extra = {
+            "fp32_b1_fps": demo["fps"],
+            "fp32_b1_fps_uncorrected": demo["fps_uncorrected"],
+            "bf16_b8_fps_uncorrected": hot["fps_uncorrected"],
+            "readback_ms": hot["readback_ms"],
+        }
 
     print(json.dumps({
-        "metric": f"two_hand_512px_inference_fps_b{batch}_{precision}",
-        "value": round(fps, 2),
+        "metric": metric,
+        "value": fps,
         "unit": "frames/sec",
         "vs_baseline": round(fps / 60.0, 3),
+        "extra": extra,
     }))
 
 

@@ -114,3 +114,90 @@ def test_converted_params_run_forward(flax_shapes, synthetic_torch_sd):
 def test_enumerate_matches_eval_shape(flax_shapes):
     paths = enumerate_flax_paths()
     assert set(map(tuple, paths)) == set(flax_shapes)
+
+
+# ---------------------------------------------------------------------------
+# real-checkpoint container variants (reference load semantics:
+# acr/utils.py:1106-1168, acr/main.py:59). The licensed `wild.pkl` is a
+# torch-pickled state dict; training-era re-saves wrap it in various
+# containers. Every variant must convert without manual surgery.
+# ---------------------------------------------------------------------------
+
+def _tiny_torch_sd():
+    import torch
+    return {
+        "backbone.conv1.weight": torch.randn(8, 3, 3, 3),
+        "backbone.bn1.weight": torch.rand(8) + 0.5,
+    }
+
+
+def _roundtrip(tmp_path, obj, name):
+    import torch
+    from tools.convert_checkpoint import _to_numpy_state_dict
+    p = str(tmp_path / name)
+    torch.save(obj, p)
+    return _to_numpy_state_dict(p)
+
+
+def test_container_bare_state_dict(tmp_path):
+    sd = _roundtrip(tmp_path, _tiny_torch_sd(), "bare.pkl")
+    assert sd["backbone.conv1.weight"].shape == (8, 3, 3, 3)
+
+
+def test_container_module_prefixed(tmp_path):
+    import collections
+    obj = collections.OrderedDict(
+        ("module." + k, v) for k, v in _tiny_torch_sd().items())
+    sd = _roundtrip(tmp_path, obj, "dp.pkl")
+    assert "backbone.conv1.weight" in sd
+
+
+def test_container_double_module_prefix(tmp_path):
+    obj = {"module.module." + k: v for k, v in _tiny_torch_sd().items()}
+    sd = _roundtrip(tmp_path, obj, "ddp.pkl")
+    assert "backbone.conv1.weight" in sd
+
+
+@pytest.mark.parametrize("wrapper", ["model_state_dict", "state_dict", "model"])
+def test_container_training_checkpoint(tmp_path, wrapper):
+    import torch
+    obj = {wrapper: {"module." + k: v for k, v in _tiny_torch_sd().items()},
+           "optimizer": {"state": {}, "param_groups": [{"lr": 1e-4}]},
+           "epoch": 17, "best_score": 0.5}
+    sd = _roundtrip(tmp_path, obj, f"{wrapper}.pkl")
+    assert set(sd) == {"backbone.conv1.weight", "backbone.bn1.weight"}
+
+
+def test_container_fp16_tensors(tmp_path, flax_shapes, synthetic_torch_sd):
+    import torch
+    obj = {"module." + k: torch.from_numpy(np.asarray(v)).half()
+           if np.issubdtype(np.asarray(v).dtype, np.floating)
+           else torch.from_numpy(np.asarray(v))
+           for k, v in synthetic_torch_sd.items()}
+    sd = _roundtrip(tmp_path, obj, "fp16.pkl")
+    flat, _, missing = convert_state_dict(sd, list(flax_shapes))
+    assert not missing
+    assert all(v.dtype == np.float32 for v in flat.values())
+
+
+def test_container_non_tensor_entries_skipped(tmp_path):
+    obj = dict(_tiny_torch_sd())
+    obj["epoch"] = 3
+    obj["note"] = "trained on interhand"
+    obj["nothing"] = None
+    sd = _roundtrip(tmp_path, obj, "junk.pkl")
+    assert "backbone.conv1.weight" in sd
+    assert "note" not in sd and "nothing" not in sd
+    assert sd["epoch"].shape == ()            # scalar arrays are harmless
+
+
+def test_container_whole_module(tmp_path):
+    import torch
+    mod = torch.nn.Sequential(torch.nn.Conv2d(3, 4, 3))
+    sd = _roundtrip(tmp_path, mod, "module.pkl")
+    assert "0.weight" in sd and sd["0.weight"].shape == (4, 3, 3, 3)
+
+
+def test_container_unsupported_raises(tmp_path):
+    with pytest.raises(ValueError, match="unsupported checkpoint"):
+        _roundtrip(tmp_path, [1, 2, 3], "list.pkl")

@@ -10,7 +10,12 @@ import jax.numpy as jnp
 from scipy.spatial import ConvexHull
 
 from acr_tpu.viz.raster import _project, rasterize, render_hands
-from acr_tpu.viz.raster_pallas import FACE_CHUNK, rasterize_pallas
+from acr_tpu.viz.raster_pallas import (
+    FACE_CHUNK,
+    _bin_faces,
+    rasterize_pallas,
+    rasterize_pallas_binned,
+)
 
 
 def make_geometry(rng, n_pts=300, z=1.0):
@@ -46,6 +51,117 @@ def test_empty_scene():
     fid, bary = rasterize_pallas(screen, faces, 64, 128, interpret=True)
     assert (np.asarray(fid) == -1).all()
     assert (np.asarray(bary) == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# binned kernel (the render_size=2048 path; also fewer chunks at 512)
+# ---------------------------------------------------------------------------
+
+def test_binned_matches_scan(rng):
+    # two hulls -> ~256 faces total with capacity 128: tiles really do
+    # select face subsets, and the result must still be bit-identical
+    s1, f1 = make_geometry(rng, n_pts=300)
+    s2, f2 = make_geometry(rng, n_pts=300)
+    s1 = s1.at[:, 0].add(-30.0)
+    s2 = s2.at[:, 0].add(30.0)
+    screen = jnp.concatenate([s1, s2])
+    faces = jnp.concatenate([f1, f2 + s1.shape[0]])
+    assert faces.shape[0] > 128
+    fid0, bary0 = rasterize(screen, faces, 128, 128)
+    fid1, bary1 = rasterize_pallas_binned(screen, faces, 128, 128,
+                                          bin_cap=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fid0), np.asarray(fid1))
+    np.testing.assert_allclose(np.asarray(bary0), np.asarray(bary1),
+                               atol=1e-5)
+
+
+def test_binned_multiple_column_tiles(rng):
+    screen, faces = make_geometry(rng)
+    screen = screen.at[:, 0].mul(4.0)
+    fid0, _ = rasterize(screen, faces, 64, 512)
+    fid1, _ = rasterize_pallas_binned(screen, faces, 64, 512,
+                                      bin_cap=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fid0), np.asarray(fid1))
+
+
+def test_binned_empty_scene():
+    screen = jnp.zeros((3, 3))
+    faces = jnp.zeros((FACE_CHUNK * 2, 3), jnp.int32)
+    fid, bary = rasterize_pallas_binned(screen, faces, 64, 128,
+                                        bin_cap=FACE_CHUNK, interpret=True)
+    assert (np.asarray(fid) == -1).all()
+    assert (np.asarray(bary) == 0).all()
+
+
+def test_binned_overflow_drops_highest_ids(rng):
+    # 2*FACE_CHUNK faces all covering one point, capacity FACE_CHUNK:
+    # the winner must come from the kept (lowest-id) half
+    n = 2 * FACE_CHUNK
+    tris = []
+    for k in range(n):
+        # stacked triangles covering pixel (32, 32), nearer for higher k
+        tris.append([[20, 20, 1.0 - k * 1e-3],
+                     [44, 20, 1.0 - k * 1e-3],
+                     [32, 44, 1.0 - k * 1e-3]])
+    verts = jnp.asarray(np.asarray(tris, np.float32).reshape(-1, 3))
+    faces = jnp.arange(n * 3, dtype=jnp.int32).reshape(n, 3)
+    fid, _ = rasterize_pallas_binned(verts, faces, 64, 128,
+                                     bin_cap=FACE_CHUNK, interpret=True)
+    fid = np.asarray(fid)
+    covered = fid[fid >= 0]
+    assert covered.size > 0
+    # nearest KEPT face wins: the highest id below capacity
+    assert covered.max() == FACE_CHUNK - 1
+
+
+def test_bin_faces_prestage_2048_shapes(rng):
+    # prestage scales to the 2048px tiling (pure JAX, no kernel run)
+    screen, faces = make_geometry(rng, n_pts=400)
+    screen = screen.at[:, :2].mul(16.0)          # spread over 2048px
+    f_total = faces.shape[0]
+    tri = screen[faces].transpose(1, 2, 0).reshape(9, f_total)
+    tri = jnp.concatenate([tri, jnp.zeros((7, f_total))], axis=0)
+    xs, ys = tri[jnp.array([0, 3, 6])], tri[jnp.array([1, 4, 7])]
+    area = ((tri[3] - tri[0]) * (tri[7] - tri[1])
+            - (tri[6] - tri[0]) * (tri[4] - tri[1]))
+    inv = jnp.where(jnp.abs(area) < 1e-9, 0.0, 1.0 / area)[None, :]
+    cap = FACE_CHUNK
+    tri_t, inv_t, ids_t = _bin_faces(tri, inv, 2048, 2048, 256, cap)
+    n_tiles = (2048 // 8) * (2048 // 256)
+    assert tri_t.shape == (n_tiles, 16, cap)
+    assert ids_t.shape == (n_tiles, 1, cap)
+    ids = np.asarray(ids_t)[:, 0, :]
+    # live slots carry real ids in ascending order; dead slots are -1
+    live = ids >= 0
+    assert (np.asarray(inv_t)[:, 0, :][~live] == 0).all()
+    for row in ids[np.count_nonzero(live, 1) > 1][:16]:
+        r = row[row >= 0]
+        assert (np.diff(r) > 0).all()            # id order preserved
+    # every live face appears in at least one tile
+    assert set(np.unique(ids[live])) >= set(
+        np.asarray(jnp.nonzero(inv[0] != 0)[0]).tolist())
+
+
+def test_render_hands_2048_e2e_scan(rng):
+    """End-to-end 2048px render (scan backend, CPU-sized mesh)."""
+    half = 0.2
+    quad = np.array([[-half, -half, 0], [half, -half, 0],
+                     [half, half, 0], [-half, half, 0]], np.float32)
+    verts = jnp.asarray(np.stack([quad, quad + [0.0, 0.0, 0.5]]))
+    faces = jnp.asarray(
+        np.tile(np.array([[0, 1, 2], [0, 2, 3]], np.int32), (2, 1, 1)))
+    rgba = render_hands(verts,
+                        jnp.asarray(np.tile([0.0, 0.0, 2.0], (2, 1)),
+                                    jnp.float32),
+                        jnp.array([True, True]), faces,
+                        size=2048, focal=1265.0 * 4, backend="scan")
+    rgba = np.asarray(rgba)
+    assert rgba.shape == (2048, 2048, 4)
+    ys, xs = np.nonzero(rgba[..., 3] > 0)
+    assert xs.mean() == pytest.approx(1024, abs=4)
+    assert ys.mean() == pytest.approx(1024, abs=4)
+    # footprint ~ 2*half*focal/z = 0.4*5060/2 = 1012px wide
+    assert 900 < (xs.max() - xs.min()) < 1100
 
 
 def test_render_hands_scan_backend_unchanged(rng):

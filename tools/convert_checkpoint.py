@@ -34,18 +34,48 @@ import numpy as np
 
 
 def _to_numpy_state_dict(path: str) -> dict:
+    """torch.load -> flat {name: ndarray}, hardened for the checkpoint
+    container variants seen in the wild (the reference's load tolerates
+    arbitrary state dicts, acr/utils.py:1106-1168, acr/main.py:59):
+
+    * a bare (Ordered)Dict state dict — the `wild.pkl` shape;
+    * a training checkpoint wrapping it under 'model_state_dict' /
+      'state_dict' / 'model' (optimizer/epoch entries are dropped);
+    * a whole pickled nn.Module (``.state_dict()`` is taken);
+    * repeated DataParallel prefixes ('module.module.' etc.);
+    * non-tensor values (epoch counters, None, strings) — skipped with
+      a notice rather than crashing the conversion.
+    """
     import torch
     obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict") and not isinstance(obj, dict):
+        obj = obj.state_dict()
     if isinstance(obj, dict):
-        for key in ("model_state_dict", "state_dict"):
-            if key in obj:
+        for key in ("model_state_dict", "state_dict", "model"):
+            if key in obj and isinstance(obj[key], dict):
                 obj = obj[key]
                 break
-    out = {}
+    if not isinstance(obj, dict):
+        raise ValueError(f"unsupported checkpoint container: {type(obj)}")
+    out, skipped = {}, []
     for k, v in obj.items():
-        if k.startswith("module."):
+        while k.startswith("module."):
             k = k[len("module."):]
-        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        if hasattr(v, "detach"):
+            out[k] = v.detach().cpu().numpy()
+            continue
+        try:
+            arr = np.asarray(v)
+        except Exception:
+            skipped.append(k)
+            continue
+        if arr.dtype == object or arr.dtype.kind in "USV" or v is None:
+            skipped.append(k)
+        else:
+            out[k] = arr
+    if skipped:
+        print(f"skipped {len(skipped)} non-tensor entries, e.g.:",
+              *skipped[:5], sep="\n  ")
     return out
 
 
