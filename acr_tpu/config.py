@@ -100,8 +100,10 @@ class Config:
     coordinator: Optional[str] = None            # host:port -> jax.distributed multi-host DP
     num_processes: int = 1                       # processes in the distributed runtime
     process_id: int = 0                          # this process's rank
-    use_pallas_mano: bool = False                # fused Pallas MANO kernel (validated; default off —
-                                                 # pure-JAX path is equally fast at demo batch sizes)
+    use_pallas_mano: str = "auto"                # fused Pallas MANO kernel: auto (batch>=128 on TPU,
+                                                 # the measured crossover) | on | off
+    s2d_highres: bool = True                     # exact space-to-depth rewrite of HRNet's high-res
+                                                 # branch (quarter-lane -> full-lane convs; models/s2d.py)
     jit_translation_solve: bool = True           # closed-form weighted-LS on device (reference: host solvePnPRansac)
     profile_dir: Optional[str] = None            # jax.profiler trace output
 
@@ -172,6 +174,17 @@ class Config:
         if not self.kernel_sizes:
             raise ValueError("kernel_sizes must be non-empty (the last "
                              "entry selects the NMS pool kernel)")
+        # normalize legacy boolean values for the MANO kernel switch
+        if isinstance(self.use_pallas_mano, bool):
+            self.use_pallas_mano = "on" if self.use_pallas_mano else "off"
+        self.use_pallas_mano = str(self.use_pallas_mano).lower()
+        if self.use_pallas_mano in ("true", "1", "yes"):
+            self.use_pallas_mano = "on"
+        elif self.use_pallas_mano in ("false", "0", "no"):
+            self.use_pallas_mano = "off"
+        if self.use_pallas_mano not in ("auto", "on", "off"):
+            raise ValueError(f"use_pallas_mano must be auto|on|off, "
+                             f"got {self.use_pallas_mano!r}")
 
 
 _FIELD_TYPES = {f.name: f.type for f in dataclasses.fields(Config)}

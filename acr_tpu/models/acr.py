@@ -121,10 +121,14 @@ class ACRNet(nn.Module):
     head_block_num: int = 2
     params_ch: int = PARAMS_CH
     offset_mode: str = "concat"
+    # exact space-to-depth rewrite of the high-res HRNet branch (TPU
+    # lane utilization; needs transform_params_s2d'd params — s2d.py)
+    s2d_highres: bool = False
 
     @nn.compact
     def __call__(self, image_uint8: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        feats = HRNetBackbone(dtype=self.dtype, name="backbone")(image_uint8)
+        feats = HRNetBackbone(dtype=self.dtype, s2d0=self.s2d_highres,
+                              name="backbone")(image_uint8)
         pred_segm = SegmNet(dtype=self.dtype, name="segm")(feats)   # (B,256,256,33)
 
         coords = get_coord_maps(feats.shape[1], self.dtype)

@@ -1,0 +1,127 @@
+"""Space-to-depth rewrite of HRNet's high-resolution branch.
+
+Why: profiling the 512px program on a v5e showed the branch-0 convs
+(128x128 spatial, 32 channels) consuming ~49% of device time at ~9% MXU
+utilization — 32 channels fill a quarter of the TPU's 128 vector lanes,
+so both the MXU contraction and every HBM tile are 3/4 padding. Dense
+256-channel convs in the same program measure ~74% MXU.
+
+The fix is an EXACT algebraic rewrite, not an approximation: carry
+branch-0 activations in 2x2 space-to-depth form — (B, 64, 64, 128)
+instead of (B, 128, 128, 32), channel index (pi*2+pj)*C + c — and
+transform the conv weights so every op computes bit-for-bit the same
+function (up to float reassociation):
+
+* 3x3 stride-1 conv  ->  3x3 stride-1 "macro" conv on the packed
+  tensor with weights W'[kI,kJ,(p,ci),(q,co)] = W[di,dj,ci,co] where
+  di = 2*kI + pi - qi - 1 (zero where di/dj fall outside [0,2]).
+  FLOPs grow 4x (the macro kernel is half structural zeros), but the
+  MXU absorbs dense 128-lane work ~8x faster than 32-lane work.
+* 3x3 stride-2 conv out of the branch (fuse-down paths) -> 2x2
+  stride-1 macro conv with padding ((1,0),(1,0)) and weights
+  W'[kI,kJ,(p,ci),co] = W[di,dj,ci,co], di = 2*kI + pi - 1.
+* folded-BN scale/bias -> tiled 4x (phase-major, matching the packing).
+* nearest x2 upsample INTO the branch -> channel tile by 4 (all four
+  phases of a nearest-upsampled pixel are equal).
+
+Checkpoints stay in canonical (reference-shaped) form; the transform
+runs once at load time (``transform_params_s2d``). The torch-parity
+harness exercises the canonical module; tests/test_s2d.py pins
+canonical-vs-s2d equality at the conv, module, and backbone level.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def s2d_conv3_weights(w: np.ndarray) -> np.ndarray:
+    """(3,3,C,Co) stride-1 kernel -> (3,3,4C,4Co) macro kernel."""
+    kh, kw, c, co = w.shape
+    assert (kh, kw) == (3, 3), w.shape
+    out = np.zeros((3, 3, 4 * c, 4 * co), w.dtype)
+    for k_i in range(3):
+        for k_j in range(3):
+            for pi in range(2):
+                for pj in range(2):
+                    for qi in range(2):
+                        for qj in range(2):
+                            di = 2 * k_i + pi - qi - 1
+                            dj = 2 * k_j + pj - qj - 1
+                            if 0 <= di < 3 and 0 <= dj < 3:
+                                p = pi * 2 + pj
+                                q = qi * 2 + qj
+                                out[k_i, k_j, p * c:(p + 1) * c,
+                                    q * co:(q + 1) * co] = w[di, dj]
+    return out
+
+
+def s2d_strided_conv3_weights(w: np.ndarray) -> np.ndarray:
+    """(3,3,C,Co) stride-2 kernel -> (2,2,4C,Co) stride-1 macro kernel
+    (use with explicit padding ((1,0),(1,0)))."""
+    kh, kw, c, co = w.shape
+    assert (kh, kw) == (3, 3), w.shape
+    out = np.zeros((2, 2, 4 * c, co), w.dtype)
+    for k_i in range(2):
+        for k_j in range(2):
+            for pi in range(2):
+                for pj in range(2):
+                    di = 2 * k_i + pi - 1
+                    dj = 2 * k_j + pj - 1
+                    if 0 <= di < 3 and 0 <= dj < 3:
+                        p = pi * 2 + pj
+                        out[k_i, k_j, p * c:(p + 1) * c, :] = w[di, dj]
+    return out
+
+
+def _tile4(v: np.ndarray) -> np.ndarray:
+    return np.tile(np.asarray(v), 4)
+
+
+def transform_params_s2d(params: Dict) -> Dict:
+    """Rewrite a canonical param tree for the s2d backbone (idempotent).
+
+    Touches only `backbone/stage*_*`: the b0_* BasicBlock convs/BNs and
+    the first conv of every fuse-down chain out of branch 0
+    (`fuse_{i}_0_0`). Everything else — and the checkpoint npz format —
+    stays canonical.
+    """
+    import copy
+    params = copy.deepcopy(params)
+    tree = params.get("params", params)
+    tree = tree.get("backbone", tree)
+
+    def _transform_module(mod: Dict) -> None:
+        for sub_name, sub in mod.items():
+            if sub_name.startswith("b0_"):
+                for conv_name in ("conv1", "conv2"):
+                    k = np.asarray(sub[conv_name]["kernel"])
+                    if k.shape[2] <= 64:          # canonical (not yet 4C)
+                        sub[conv_name]["kernel"] = s2d_conv3_weights(k)
+                for bn_name in ("bn1", "bn2"):
+                    s = np.asarray(sub[bn_name]["scale"])
+                    if s.shape[0] <= 64:
+                        sub[bn_name]["scale"] = _tile4(s)
+                        sub[bn_name]["bias"] = _tile4(
+                            np.asarray(sub[bn_name]["bias"]))
+            elif sub_name.startswith("fuse_") and sub_name.endswith("_0_0"):
+                k = np.asarray(sub["conv"]["kernel"])
+                if k.shape[0] == 3:               # canonical (not yet 2x2)
+                    sub["conv"]["kernel"] = s2d_strided_conv3_weights(k)
+
+    stage_keys = [k for k in tree
+                  if k.startswith(("stage2_", "stage3_", "stage4_"))]
+    if stage_keys:
+        for k in stage_keys:
+            _transform_module(tree[k])
+    elif any(k.startswith("b0_") for k in tree):
+        _transform_module(tree)                   # a bare HRModule tree
+
+    # leaves must be device arrays: numpy leaves in a param tree are
+    # re-uploaded host->device on EVERY jitted call (measured 750 ms/step
+    # through this terminal's relay — 27x the whole program)
+    import jax
+    import jax.numpy as jnp
+    return jax.tree.map(jnp.asarray, params)

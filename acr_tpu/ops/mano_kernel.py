@@ -109,19 +109,27 @@ def _fused_kernel(coef_ref, g_ref, basis_ref, wt_ref, out_ref):
     out_ref[:] = jnp.concatenate([vx, vy, vz], axis=1)
 
 
+B_BLOCK = 64           # batch tile: bounds VMEM (the t buffer is
+                       # (12*B_BLOCK, 896) f32 = 2.75 MB; an ungridded
+                       # B=1024 call OOMs scoped vmem at 55 MB)
+
+
 def fused_blend_skin(data: ManoKernelData, coef: jnp.ndarray,
                      g_rows: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """coef (B, 146), g_rows (B*12, 16) -> verts (B, 778, 3).
 
-    The batch is padded to a multiple of 8 (f32 sublane tile) — small
+    The batch is padded to a multiple of 8 (f32 sublane tile — small
     batches otherwise trip Mosaic on the in-kernel (B, 12, lanes)
-    reshape/concat.
+    reshape/concat) and gridded in B_BLOCK tiles so VMEM use is
+    constant in batch size.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b = coef.shape[0]
     bp = ((b + 7) // 8) * 8
+    blk = min(B_BLOCK, bp)
+    bp = ((bp + blk - 1) // blk) * blk
     if bp != b:
         coef = jnp.concatenate(
             [coef, jnp.zeros((bp - b,) + coef.shape[1:], coef.dtype)], axis=0)
@@ -130,9 +138,20 @@ def fused_blend_skin(data: ManoKernelData, coef: jnp.ndarray,
                                g_rows.dtype)], axis=0)
     out = pl.pallas_call(
         _fused_kernel,
+        grid=(bp // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, N_COEF), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk * 12, 16), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_COEF, 3 * V_PAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, V_PAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((blk, 3 * V_PAD), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, 3 * V_PAD), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(coef, g_rows, data.basis, data.weights_t)
     planes = out.reshape(bp, 3, V_PAD)[:b, :, :V_REAL]

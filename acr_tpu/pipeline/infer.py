@@ -39,8 +39,32 @@ from acr_tpu.pipeline.project import (
 )
 
 
+class ManoAuto(NamedTuple):
+    """Both MANO representations, dispatched by batch size at trace time."""
+    model: ManoModel
+    kernel: ManoKernelData
+
+
+# measured on v5e: pure JAX wins at demo batches (B<=64); the fused
+# kernel wins 2x at B=1024 and is the only path that scales to B=4096
+# (XLA's unfused chain slows superlinearly there). The crossover sits
+# between 256 and 1024 in noisy relay measurements — 512 is the
+# conservative switch point (docs/PERFORMANCE.md).
+PALLAS_MANO_MIN_BATCH = 512
+
+
 def _apply_mano(mano, poses, betas, center_idx):
-    """Dispatch on asset type: fused Pallas kernel vs pure-JAX path."""
+    """Dispatch on asset type: fused Pallas kernel vs pure-JAX path.
+
+    ``ManoAuto`` picks per call site from the STATIC batch size — XLA
+    fuses the tiny pure-JAX MANO well at demo batches, while the Pallas
+    kernel's VMEM-resident blendshape+LBS wins for bulk serving.
+    """
+    if isinstance(mano, ManoAuto):
+        if poses.shape[0] >= PALLAS_MANO_MIN_BATCH:
+            return mano_forward_fused(mano.kernel, poses, betas,
+                                      center_idx=center_idx)
+        return mano_forward(mano.model, poses, betas, center_idx=center_idx)
     if isinstance(mano, ManoKernelData):
         return mano_forward_fused(mano, poses, betas, center_idx=center_idx)
     return mano_forward(mano, poses, betas, center_idx=center_idx)
@@ -140,8 +164,14 @@ class ACRPipeline:
         self.net = ACRNet(dtype=dtype, inter_prior=cfg.inter_prior,
                           head_block_num=cfg.head_block_num,
                           params_ch=cfg.map_channels,
-                          offset_mode=cfg.offset_mode)
+                          offset_mode=cfg.offset_mode,
+                          s2d_highres=cfg.s2d_highres)
         self.params = params if params is not None else load_params(cfg.model_path)
+        if cfg.s2d_highres:
+            # exact weight rewrite for the space-to-depth high-res
+            # branch; checkpoints stay canonical on disk (models/s2d.py)
+            from acr_tpu.models.s2d import transform_params_s2d
+            self.params = transform_params_s2d(self.params)
         # merge-mode cross-hand fusion head (converted from the reference's
         # ResultParser.fusion_fc_end) is carried outside the network tree
         self.merge_params = None
@@ -151,11 +181,19 @@ class ACRPipeline:
         self.mano_l, faces_l = load_mano_model(cfg.mano_model_path, "left")
         self.mano_r, faces_r = load_mano_model(cfg.mano_model_path, "right")
         self.faces = np.stack([faces_l, faces_r])      # (2, 1538, 3)
-        if cfg.use_pallas_mano and jax.default_backend() not in ("cpu",):
-            # fused Pallas blendshape+LBS kernel (TPU-native backends only;
-            # the pure-JAX path serves CPU tests)
-            self.mano_l = build_kernel_data(self.mano_l)
-            self.mano_r = build_kernel_data(self.mano_r)
+        mode = cfg.use_pallas_mano
+        if mode != "off" and jax.default_backend() not in ("cpu",):
+            # fused Pallas blendshape+LBS kernel (TPU backends only; the
+            # pure-JAX path serves CPU tests). 'auto' (default) keeps
+            # both and dispatches on batch size (PALLAS_MANO_MIN_BATCH)
+            if mode == "on":
+                self.mano_l = build_kernel_data(self.mano_l)
+                self.mano_r = build_kernel_data(self.mano_r)
+            else:
+                self.mano_l = ManoAuto(self.mano_l,
+                                       build_kernel_data(self.mano_l))
+                self.mano_r = ManoAuto(self.mano_r,
+                                       build_kernel_data(self.mano_r))
 
         # optional data-parallel mesh: frame batch sharded over chips,
         # params replicated (folder/video throughput mode)

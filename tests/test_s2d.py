@@ -1,0 +1,111 @@
+"""Space-to-depth HRNet rewrite: exactness at every level.
+
+The s2d rewrite (models/s2d.py) is a pure performance transform — the
+claim is bit-level equivalence up to float reassociation. These tests
+pin it at the kernel-transform, module, backbone, and pipeline level,
+plus the lane-padded segm convs (layers.LanePaddedConv).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from acr_tpu.models.hrnet import HRModule, HRNetBackbone, STAGE3, SegmNet
+from acr_tpu.models.layers import depth_to_space2, space_to_depth2
+from acr_tpu.models.s2d import (
+    s2d_conv3_weights,
+    s2d_strided_conv3_weights,
+    transform_params_s2d,
+)
+
+
+def _conv(x, w, stride=1, padding=((1, 1), (1, 1))):
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def test_s2d_roundtrip(rng):
+    x = jnp.asarray(rng.randn(2, 8, 6, 5).astype(np.float32))
+    np.testing.assert_array_equal(depth_to_space2(space_to_depth2(x)), x)
+
+
+def test_s2d_conv3_weights_exact(rng):
+    c, co = 3, 5
+    x = jnp.asarray(rng.randn(2, 16, 12, c).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, c, co).astype(np.float32))
+    ref = _conv(x, w)
+    macro = _conv(space_to_depth2(x), jnp.asarray(s2d_conv3_weights(np.asarray(w))))
+    np.testing.assert_allclose(depth_to_space2(macro), ref, atol=1e-5)
+
+
+def test_s2d_strided_conv3_weights_exact(rng):
+    c, co = 3, 7
+    x = jnp.asarray(rng.randn(2, 16, 12, c).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, c, co).astype(np.float32))
+    ref = _conv(x, w, stride=2)                       # torch pad=1, s2
+    macro = _conv(space_to_depth2(x),
+                  jnp.asarray(s2d_strided_conv3_weights(np.asarray(w))),
+                  stride=1, padding=((1, 0), (1, 0)))
+    np.testing.assert_allclose(macro, ref, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def hrmodule_pair(rng):
+    mod = HRModule(STAGE3["channels"])                # 3 branches
+    xs = [jnp.asarray(rng.randn(2, 32, 32, 32).astype(np.float32) * 0.1),
+          jnp.asarray(rng.randn(2, 16, 16, 64).astype(np.float32) * 0.1),
+          jnp.asarray(rng.randn(2, 8, 8, 128).astype(np.float32) * 0.1)]
+    params = mod.init(jax.random.PRNGKey(0), xs)
+    return mod, xs, params
+
+
+def test_hrmodule_s2d_exact(hrmodule_pair):
+    mod, xs, params = hrmodule_pair
+    ref = mod.apply(params, xs)
+    mod_s = HRModule(STAGE3["channels"], s2d0=True)
+    xs_s = [space_to_depth2(xs[0])] + xs[1:]
+    out = mod_s.apply(transform_params_s2d({"params": params["params"]}), xs_s)
+    np.testing.assert_allclose(depth_to_space2(out[0]), ref[0], atol=2e-4)
+    for a, b in zip(out[1:], ref[1:]):
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_hrmodule_s2d_transform_idempotent(hrmodule_pair):
+    _, xs, params = hrmodule_pair
+    once = transform_params_s2d({"params": params["params"]})
+    twice = transform_params_s2d(once)
+    chk = jax.tree.map(np.testing.assert_array_equal, once, twice)
+    del chk
+
+
+def test_backbone_s2d_exact(rng):
+    bb = HRNetBackbone()
+    img = (rng.rand(1, 64, 64, 3) * 255).astype(np.uint8)
+    params = bb.init(jax.random.PRNGKey(1), jnp.asarray(img))
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: x * 0.2 if getattr(p[-1], "key", None) == "scale" else x,
+        params)
+    ref = bb.apply(params, jnp.asarray(img))
+    out = HRNetBackbone(s2d0=True).apply(
+        transform_params_s2d(params), jnp.asarray(img))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=1e-4)
+
+
+def test_segm_lane_padding_shapes_and_grads_free(rng):
+    # canonical param shapes (checkpoint compatibility) + exact zeros
+    # beyond channel 33 never leak into the output
+    sg = SegmNet()
+    x = jnp.asarray(rng.randn(1, 16, 16, 32).astype(np.float32))
+    params = sg.init(jax.random.PRNGKey(0), x)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    shapes = {"/".join(str(k.key) for k in p): v.shape for p, v in flat}
+    assert shapes["params/out1/conv/kernel"] == (3, 3, 64, 33)
+    assert shapes["params/out1/bn/scale"] == (33,)
+    assert shapes["params/out_conv2/kernel"] == (3, 3, 33, 33)
+    out = sg.apply(params, x)
+    assert out.shape == (1, 32, 32, 33)
+    assert np.isfinite(np.asarray(out)).all()
