@@ -16,7 +16,7 @@ compute dtype, coarse->fine fusion via nearest ``jnp.repeat`` upsample
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -130,30 +130,38 @@ class SegmNet(nn.Module):
     truncated DoubleConv(64 -> 33 -> 33)
     (reference: acr/model.py:374-463; SegmHead(32, 128, 64, 33)).
 
-    The two 33-channel output convs are evaluated at 64 lanes with
-    zero-padded weights and sliced back to 33 — bit-exact, ~4x faster
-    on TPU (33 output channels use a quarter of the vector lanes; the
-    out1 conv alone profiled at 599us vs ~150us for 64-channel peers).
-    Checkpoint parameter shapes are unchanged.
+    ``lanes`` optionally evaluates the two 33-channel output convs at a
+    padded lane count with zero-padded weights, sliced back to 33 —
+    bit-exact, canonical checkpoint shapes. Measured in the full 512px
+    program on a v5e this LOSES ~0.5 ms/batch-8 (XLA already handles
+    the odd channel count well in context, and padding adds bytes), so
+    the default is None; the option remains for other shapes/hardware
+    (tests/test_s2d.py covers it).
     """
     out_dim: int = 33
     dtype: Any = jnp.float32
+    lanes: Optional[int] = None    # e.g. 64: lane-padded out convs
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from acr_tpu.models.layers import (
-            LanePaddedConv, resize_bilinear_align_corners)
+            LanePaddedConv, conv, resize_bilinear_align_corners)
         h, w = x.shape[1], x.shape[2]
         x = resize_bilinear_align_corners(x, (h * 2, w * 2))
         # Up.conv = DoubleConv(in=32, out=64, mid=in//2=16)
         x = ConvBN(16, kernel=3, use_bias=True, dtype=self.dtype, name="up1")(x)
         x = ConvBN(64, kernel=3, use_bias=True, dtype=self.dtype, name="up2")(x)
-        # segm_net = DoubleConv(64, 33) truncated to [conv, bn, relu, conv],
-        # lane-padded 33 -> 64 through both convs, sliced at the end
-        x = _PaddedOutBlock(self.out_dim, in_features=64, lanes=64,
+        # segm_net = DoubleConv(64, 33) truncated to [conv, bn, relu, conv];
+        # optionally lane-padded 33 -> lanes through both convs, sliced
+        if self.lanes is None:
+            x = ConvBN(self.out_dim, kernel=3, use_bias=True,
+                       dtype=self.dtype, name="out1")(x)
+            return conv(self.out_dim, 3, use_bias=True, dtype=self.dtype,
+                        name="out_conv2")(x)
+        x = _PaddedOutBlock(self.out_dim, in_features=64, lanes=self.lanes,
                             dtype=self.dtype, name="out1")(x)
-        x = LanePaddedConv(self.out_dim, in_features=self.out_dim, lanes=64,
-                           use_bias=True, dtype=self.dtype,
+        x = LanePaddedConv(self.out_dim, in_features=self.out_dim,
+                           lanes=self.lanes, use_bias=True, dtype=self.dtype,
                            name="out_conv2")(x)
         return x[..., :self.out_dim]
 

@@ -227,6 +227,37 @@ def _bin_faces(tri_rows: jnp.ndarray, inv_area: jnp.ndarray,
     return tri_t, inv_t[:, None, :], ids_t[:, None, :]
 
 
+@functools.partial(jax.jit, static_argnames=("height", "width", "col_tile",
+                                             "cap"))
+def bin_overflow_stats(verts_screen: jnp.ndarray, faces: jnp.ndarray,
+                       height: int, width: int,
+                       col_tile: int = COL_TILE, cap: int = BIN_CAP):
+    """Observability for the binned kernel's fixed capacity.
+
+    Returns (max_faces_per_tile, n_overflowing_tiles) as device scalars
+    — cheap (the same bbox-overlap matrix the prestage builds, no
+    kernel run), so production can sample it to confirm ``cap`` holds
+    for its mesh/zoom regime instead of trusting the default silently.
+    """
+    f_total = faces.shape[0]
+    tri = verts_screen[faces]
+    xs, ys = tri[:, :, 0], tri[:, :, 1]
+    xmin, xmax = xs.min(1), xs.max(1)
+    ymin, ymax = ys.min(1), ys.max(1)
+    area = ((xs[:, 1] - xs[:, 0]) * (ys[:, 2] - ys[:, 0])
+            - (xs[:, 2] - xs[:, 0]) * (ys[:, 1] - ys[:, 0]))
+    live = jnp.abs(area) >= 1e-9
+    ct = min(col_tile, width)
+    ty = jnp.arange(height // ROW_TILE, dtype=jnp.float32) * ROW_TILE
+    tx = jnp.arange(width // ct, dtype=jnp.float32) * ct
+    y_hit = (ymin[None] <= ty[:, None] + ROW_TILE) & (ymax[None] >= ty[:, None])
+    x_hit = (xmin[None] <= tx[:, None] + ct) & (xmax[None] >= tx[:, None])
+    counts = jnp.sum(
+        (y_hit[:, None, :] & x_hit[None, :, :] & live[None, None, :]),
+        axis=-1).reshape(-1)
+    return counts.max(), jnp.sum(counts > cap)
+
+
 @functools.partial(jax.jit, static_argnames=("height", "width", "bin_cap",
                                              "interpret"))
 def rasterize_pallas_binned(verts_screen: jnp.ndarray, faces: jnp.ndarray,

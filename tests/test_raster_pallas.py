@@ -13,6 +13,7 @@ from acr_tpu.viz.raster import _project, rasterize, render_hands
 from acr_tpu.viz.raster_pallas import (
     FACE_CHUNK,
     _bin_faces,
+    bin_overflow_stats,
     rasterize_pallas,
     rasterize_pallas_binned,
 )
@@ -112,6 +113,14 @@ def test_binned_overflow_drops_highest_ids(rng):
     assert covered.size > 0
     # nearest KEPT face wins: the highest id below capacity
     assert covered.max() == FACE_CHUNK - 1
+
+
+def test_bin_overflow_stats(rng):
+    screen, faces = make_geometry(rng)
+    mx, n_over = bin_overflow_stats(screen, faces, 128, 128, cap=4)
+    mx2, n_ok = bin_overflow_stats(screen, faces, 128, 128, cap=10000)
+    assert int(mx) == int(mx2) > 4
+    assert int(n_over) > 0 and int(n_ok) == 0
 
 
 def test_bin_faces_prestage_2048_shapes(rng):

@@ -95,17 +95,20 @@ def test_backbone_s2d_exact(rng):
                                atol=5e-4, rtol=1e-4)
 
 
-def test_segm_lane_padding_shapes_and_grads_free(rng):
-    # canonical param shapes (checkpoint compatibility) + exact zeros
-    # beyond channel 33 never leak into the output
-    sg = SegmNet()
+def test_segm_lane_padding_exact_vs_plain(rng):
+    # lane-padded evaluation keeps canonical param shapes and computes
+    # exactly the plain 33-channel result
     x = jnp.asarray(rng.randn(1, 16, 16, 32).astype(np.float32))
-    params = sg.init(jax.random.PRNGKey(0), x)
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    plain = SegmNet()                         # default: lanes=None
+    params = plain.init(jax.random.PRNGKey(0), x)
+    padded = SegmNet(lanes=64)
+    flat = jax.tree_util.tree_flatten_with_path(
+        padded.init(jax.random.PRNGKey(0), x))[0]
     shapes = {"/".join(str(k.key) for k in p): v.shape for p, v in flat}
     assert shapes["params/out1/conv/kernel"] == (3, 3, 64, 33)
     assert shapes["params/out1/bn/scale"] == (33,)
     assert shapes["params/out_conv2/kernel"] == (3, 3, 33, 33)
-    out = sg.apply(params, x)
+    ref = plain.apply(params, x)
+    out = padded.apply(params, x)             # same params, both paths
     assert out.shape == (1, 32, 32, 33)
-    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
