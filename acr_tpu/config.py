@@ -104,7 +104,10 @@ class Config:
                                                  # the measured crossover) | on | off
     s2d_highres: bool = True                     # exact space-to-depth rewrite of HRNet's high-res
                                                  # branch (quarter-lane -> full-lane convs; models/s2d.py)
+    s2d_segm: bool = True                        # same rewrite for the segm head's 256px convs
     jit_translation_solve: bool = True           # closed-form weighted-LS on device (reference: host solvePnPRansac)
+    raster_overflow_every: int = 0               # probe binned-raster tile capacity every N rendered
+                                                 # frames (0 = off); overflows are logged as warnings
     profile_dir: Optional[str] = None            # jax.profiler trace output
 
     # free-form overflow for YAML keys that aren't first-class fields

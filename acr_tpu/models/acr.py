@@ -121,15 +121,27 @@ class ACRNet(nn.Module):
     head_block_num: int = 2
     params_ch: int = PARAMS_CH
     offset_mode: str = "concat"
-    # exact space-to-depth rewrite of the high-res HRNet branch (TPU
-    # lane utilization; needs transform_params_s2d'd params — s2d.py)
-    s2d_highres: bool = False
+    # exact space-to-depth rewrites (TPU lane utilization; both need
+    # transform_params_s2d'd params — models/s2d.py)
+    s2d_highres: bool = False    # HRNet high-res branch
+    s2d_segm: bool = False       # segmentation head
 
     @nn.compact
     def __call__(self, image_uint8: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         feats = HRNetBackbone(dtype=self.dtype, s2d0=self.s2d_highres,
                               name="backbone")(image_uint8)
-        pred_segm = SegmNet(dtype=self.dtype, name="segm")(feats)   # (B,256,256,33)
+        segm_raw = SegmNet(dtype=self.dtype, s2d=self.s2d_segm,
+                           name="segm")(feats)
+        if self.s2d_segm:
+            # packed (B,128,128,132): phase (0,0) channels ARE the
+            # 256->128 nearest downsample, so the part attention is a
+            # channel slice; the full-res logits unpack only for output
+            from acr_tpu.models.layers import depth_to_space2
+            att_src = segm_raw[..., :N_PARTS + 1]
+            pred_segm = depth_to_space2(segm_raw)            # (B,256,256,33)
+        else:
+            att_src = downsample_nearest_half(segm_raw)      # (B,128,128,33)
+            pred_segm = segm_raw
 
         coords = get_coord_maps(feats.shape[1], self.dtype)
         x = jnp.concatenate(
@@ -157,7 +169,7 @@ class ACRNet(nn.Module):
 
         # ---- part (attention-collaboration) module ----
         # 256->128 nearest downsample, drop background channel
-        part_att = downsample_nearest_half(pred_segm)[..., 1:]       # (B,128,128,32)
+        part_att = att_src[..., 1:]                                  # (B,128,128,32)
 
         contact_feats = ConvBN(256, kernel=3, use_bias=True, dtype=self.dtype,
                                name="contact_conv")(x)               # (B,128,128,256)

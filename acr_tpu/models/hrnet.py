@@ -26,7 +26,6 @@ from acr_tpu.models.layers import (
     Bottleneck,
     ConvBN,
     depth_to_space2,
-    space_to_depth2,
     upsample_nearest,
 )
 
@@ -137,15 +136,39 @@ class SegmNet(nn.Module):
     the odd channel count well in context, and padding adds bytes), so
     the default is None; the option remains for other shapes/hardware
     (tests/test_s2d.py covers it).
+
+    ``s2d=True`` runs the whole head in 2x2 space-to-depth form: the
+    upsample emits packed phases directly (layers.resize_bilinear_x2_s2d)
+    and every conv becomes a 4x-channel macro conv on weights
+    transformed by ``transform_params_s2d`` — exact, and it turns the
+    head's 16/64/33-channel 256x256 convs (1/8-1/4 lane occupancy, the
+    slowest category left after the backbone rewrite) into dense
+    64/256/132-channel 128x128 work. Returns the PACKED (B,H,W,4*33)
+    logits; the caller unpacks with ``depth_to_space2`` (and gets the
+    part-attention 128x128 nearest-downsample for free as channels
+    [0:33], which are exactly phase (0,0)).
     """
     out_dim: int = 33
     dtype: Any = jnp.float32
     lanes: Optional[int] = None    # e.g. 64: lane-padded out convs
+    s2d: bool = False              # space-to-depth macro-conv form
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from acr_tpu.models.layers import (
-            LanePaddedConv, conv, resize_bilinear_align_corners)
+            LanePaddedConv, conv, resize_bilinear_align_corners,
+            resize_bilinear_x2_s2d)
+        if self.s2d:
+            assert self.lanes is None, "s2d and lanes are exclusive"
+            x = resize_bilinear_x2_s2d(x)                   # (B,H,W,4*32)
+            x = ConvBN(16 * 4, kernel=3, use_bias=True, dtype=self.dtype,
+                       name="up1")(x)
+            x = ConvBN(64 * 4, kernel=3, use_bias=True, dtype=self.dtype,
+                       name="up2")(x)
+            x = ConvBN(self.out_dim * 4, kernel=3, use_bias=True,
+                       dtype=self.dtype, name="out1")(x)
+            return conv(self.out_dim * 4, 3, use_bias=True, dtype=self.dtype,
+                        name="out_conv2")(x)                # packed logits
         h, w = x.shape[1], x.shape[2]
         x = resize_bilinear_align_corners(x, (h * 2, w * 2))
         # Up.conv = DoubleConv(in=32, out=64, mid=in//2=16)
@@ -188,9 +211,16 @@ class HRNetBackbone(nn.Module):
                            name=f"layer1_{k}")(x)          # -> 256 ch, /4
 
         # transition1: 256 -> [32 (same res), 64 (stride 2)]
-        x0 = ConvBN(32, kernel=3, dtype=self.dtype, name="transition1_0")(x)
         if self.s2d0:
-            x0 = space_to_depth2(x0)
+            # pack folded into the conv: 4x4/s2 macro kernel emits the
+            # space_to_depth2 form directly (s2d_pack_out_conv3_weights)
+            # — dense 128-lane MXU work, no relayout op
+            x0 = ConvBN(32 * 4, kernel=4, stride=2,
+                        padding=((1, 1), (1, 1)), dtype=self.dtype,
+                        name="transition1_0")(x)
+        else:
+            x0 = ConvBN(32, kernel=3, dtype=self.dtype,
+                        name="transition1_0")(x)
         xs = [
             x0,
             ConvBN(64, kernel=3, stride=2, dtype=self.dtype,

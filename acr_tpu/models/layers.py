@@ -230,6 +230,29 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jn
     return jnp.einsum("pw,bwoc->bpoc", aw, x.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
 
 
+def resize_bilinear_x2_s2d(x: jnp.ndarray) -> jnp.ndarray:
+    """align_corners x2 bilinear upsample, emitted in space-to-depth form.
+
+    Equals ``space_to_depth2(resize_bilinear_align_corners(x, (2H, 2W)))``
+    without materializing the (B, 2H, 2W, C) intermediate: the even/odd
+    output rows/cols come from row-sliced interpolation matrices, so each
+    2x2 phase is its own pair of MXU matmuls and the four phases
+    concatenate channel-major ((pi*2+pj)*C + c — the space_to_depth2
+    convention). Feeds the s2d segm head (models/s2d.py).
+    """
+    b, h, w, c = x.shape
+    ah = _align_corners_matrix(h, 2 * h)
+    aw = _align_corners_matrix(w, 2 * w)
+    outs = []
+    for pi in range(2):
+        m_h = jnp.asarray(ah[pi::2], x.dtype)
+        y_rows = jnp.einsum("oh,bhwc->bowc", m_h, x)
+        for pj in range(2):
+            m_w = jnp.asarray(aw[pj::2], x.dtype)
+            outs.append(jnp.einsum("pw,bowc->bopc", m_w, y_rows))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def get_coord_maps(size: int = 128, dtype=jnp.float32) -> jnp.ndarray:
     """(1, size, size, 2) CoordConv xy grid in [-1, 1].
 

@@ -76,22 +76,85 @@ def s2d_strided_conv3_weights(w: np.ndarray) -> np.ndarray:
     return out
 
 
+def s2d_pack_out_conv3_weights(w: np.ndarray) -> np.ndarray:
+    """(3,3,C,Co) stride-1 kernel -> (4,4,C,4Co) stride-2 macro kernel
+    whose output IS the space_to_depth2 packing of the original conv's
+    output (use with explicit padding ((1,1),(1,1))).
+
+    Output phase (pi,pj) of macro cell (m_i,m_j) is the original conv at
+    pixel (2m_i+pi, 2m_j+pj), whose 3x3 window rows 2m_i+pi-1..+1 sit
+    inside the macro window rows 2m_i-1..+2 at offset pi:
+    W'[kI,kJ,ci,(pi*2+pj)*Co+co] = W[kI-pi, kJ-pj, ci, co]
+    (zero where out of range). Folding the packing into the conv turns a
+    32-lane 128x128 conv into a dense 128-lane 64x64 one AND deletes the
+    relayout op.
+    """
+    kh, kw, c, co = w.shape
+    assert (kh, kw) == (3, 3), w.shape
+    out = np.zeros((4, 4, c, 4 * co), w.dtype)
+    for k_i in range(4):
+        for k_j in range(4):
+            for pi in range(2):
+                for pj in range(2):
+                    di, dj = k_i - pi, k_j - pj
+                    if 0 <= di < 3 and 0 <= dj < 3:
+                        p = pi * 2 + pj
+                        out[k_i, k_j, :, p * co:(p + 1) * co] = w[di, dj]
+    return out
+
+
 def _tile4(v: np.ndarray) -> np.ndarray:
     return np.tile(np.asarray(v), 4)
 
 
-def transform_params_s2d(params: Dict) -> Dict:
-    """Rewrite a canonical param tree for the s2d backbone (idempotent).
+_SEGM_CANON_IN = {"up1": 32, "up2": 16, "out1": 64, "out_conv2": 33}
 
-    Touches only `backbone/stage*_*`: the b0_* BasicBlock convs/BNs and
-    the first conv of every fuse-down chain out of branch 0
-    (`fuse_{i}_0_0`). Everything else — and the checkpoint npz format —
-    stays canonical.
+
+def _transform_segm_tree(seg: Dict) -> None:
+    """Canonical segm-head params -> 4x-channel macro-conv form (exact).
+
+    Convs get ``s2d_conv3_weights``; per-out-channel vectors (conv bias,
+    folded-BN scale/bias) tile 4x phase-major. Idempotent via the
+    canonical input-channel count of each layer.
+    """
+    for name in ("up1", "up2", "out1"):
+        if name not in seg:
+            continue
+        k = np.asarray(seg[name]["conv"]["kernel"])
+        if k.shape[2] != _SEGM_CANON_IN[name]:      # already transformed
+            continue
+        seg[name]["conv"]["kernel"] = s2d_conv3_weights(k)
+        seg[name]["conv"]["bias"] = _tile4(np.asarray(seg[name]["conv"]["bias"]))
+        seg[name]["bn"]["scale"] = _tile4(np.asarray(seg[name]["bn"]["scale"]))
+        seg[name]["bn"]["bias"] = _tile4(np.asarray(seg[name]["bn"]["bias"]))
+    if "out_conv2" in seg:
+        k = np.asarray(seg["out_conv2"]["kernel"])
+        if k.shape[2] == _SEGM_CANON_IN["out_conv2"]:
+            seg["out_conv2"]["kernel"] = s2d_conv3_weights(k)
+            seg["out_conv2"]["bias"] = _tile4(
+                np.asarray(seg["out_conv2"]["bias"]))
+
+
+def transform_params_s2d(params: Dict, highres: bool = True,
+                         segm: bool = False) -> Dict:
+    """Rewrite a canonical param tree for the s2d network (idempotent).
+
+    ``highres`` touches `backbone/stage*_*`: the b0_* BasicBlock
+    convs/BNs and the first conv of every fuse-down chain out of branch
+    0 (`fuse_{i}_0_0`). ``segm`` touches the `segm` head (macro-conv
+    form for the 256x256 convs). Everything else — and the checkpoint
+    npz format — stays canonical.
     """
     import copy
     params = copy.deepcopy(params)
-    tree = params.get("params", params)
-    tree = tree.get("backbone", tree)
+    top = params.get("params", params)
+    if segm and "segm" in top:
+        _transform_segm_tree(top["segm"])
+    if not highres:
+        import jax
+        import jax.numpy as jnp
+        return jax.tree.map(jnp.asarray, params)
+    tree = top.get("backbone", top)
 
     def _transform_module(mod: Dict) -> None:
         for sub_name, sub in mod.items():
@@ -116,6 +179,15 @@ def transform_params_s2d(params: Dict) -> Dict:
     if stage_keys:
         for k in stage_keys:
             _transform_module(tree[k])
+        # the branch entry conv emits packed output directly (4x4/s2
+        # macro conv — s2d_pack_out_conv3_weights)
+        t1 = tree.get("transition1_0")
+        if t1 is not None:
+            k = np.asarray(t1["conv"]["kernel"])
+            if k.shape[0] == 3:                   # canonical (not yet 4x4)
+                t1["conv"]["kernel"] = s2d_pack_out_conv3_weights(k)
+                t1["bn"]["scale"] = _tile4(np.asarray(t1["bn"]["scale"]))
+                t1["bn"]["bias"] = _tile4(np.asarray(t1["bn"]["bias"]))
     elif any(k.startswith("b0_") for k in tree):
         _transform_module(tree)                   # a bare HRModule tree
 

@@ -61,6 +61,7 @@ class ACRApp:
                 st, p, b, d, cfg.smooth_coeff))
         self.output_dir = cfg.output_dir or "./demos_outputs/"
         self.timer = StageTimer()
+        self._frame_idx = 0
 
     # ------------------------------------------------------------------
     def process_frame(self, bgr_frame: np.ndarray, path: str
@@ -88,7 +89,27 @@ class ACRApp:
                                                 out["cam"], meta["offsets"]))
             if self.visualizer is not None and self.cfg.renderer == "tpu":
                 out["_rgba"] = self.visualizer.render_rgba_device(out)
+                every = self.cfg.raster_overflow_every
+                if every and self._frame_idx % every == 0:
+                    # capacity telemetry rides the same readback
+                    out["_raster_overflow"] = \
+                        self.visualizer.overflow_probe_device(out)
             out = jax.device_get(out)          # ONE batched readback
+        self._frame_idx += 1
+
+        overflow = out.pop("_raster_overflow", None)
+        if overflow is not None:
+            max_tile, n_over = int(overflow[0]), int(overflow[1])
+            if n_over:
+                log.warning(
+                    "binned rasterizer overflow: %d tiles above capacity "
+                    "(max %d faces/tile) at render_size=%d — this frame "
+                    "rendered via the exact flat-kernel fallback; raise "
+                    "viz.raster_pallas.BIN_CAP if this is frequent",
+                    n_over, max_tile, self.cfg.render_size)
+            else:
+                log.debug("raster capacity probe: max %d faces/tile, "
+                          "0 overflowing tiles", max_tile)
 
         detected = np.asarray(out["detection_flag"])
         if not detected.any():

@@ -185,8 +185,58 @@ def shade(face_id: jnp.ndarray, bary: jnp.ndarray, faces: jnp.ndarray,
     return jnp.concatenate([rgb * alpha[..., None], alpha[..., None]], axis=-1)
 
 
+def _scene_screen_faces(all_verts: jnp.ndarray, detection_flag: jnp.ndarray,
+                        faces: jnp.ndarray, verts_per_hand: int, size: int,
+                        focal: float, camera: str, fov_deg: float):
+    """Shared scene prep: offset/mask faces, pad to a chunk multiple,
+    project to screen. Used by render_hands and the overflow probe so
+    their geometry can never desynchronize."""
+    offs = jnp.arange(2, dtype=faces.dtype)[:, None, None] * verts_per_hand
+    all_faces = jnp.where(detection_flag[:, None, None], faces + offs, 0)
+    all_faces = all_faces.reshape(-1, 3)
+    # pad to a face-chunk multiple with degenerate faces
+    pad = (-all_faces.shape[0]) % 128
+    all_faces = jnp.concatenate(
+        [all_faces, jnp.zeros((pad, 3), all_faces.dtype)], axis=0)
+    if camera == "ortho":
+        screen = _project_ortho(all_verts, size / 2.0, size / 2.0, size / 2.0)
+    else:
+        f = fov_focal_px(fov_deg, size) if camera == "fov" else focal
+        screen = _project(all_verts, f, size / 2.0, size / 2.0)
+    return screen, all_faces, pad
+
+
+@functools.partial(jax.jit, static_argnames=("size", "focal", "camera",
+                                             "fov_deg"))
+def render_overflow_probe(verts: jnp.ndarray, cam_trans: jnp.ndarray,
+                          detection_flag: jnp.ndarray, faces: jnp.ndarray,
+                          size: int = 512, focal: float = 1265.0,
+                          camera: str = "intrinsics",
+                          fov_deg: float = 22.5):
+    """Binned-rasterizer capacity telemetry for one frame's scene.
+
+    Same geometry prep as render_hands, then the bbox-overlap tile
+    counts (raster_pallas.bin_overflow_stats) against the capacity the
+    binned kernel would actually use at this ``size``. Returns device
+    scalars (max_faces_per_tile, n_overflowing_tiles) — dispatch it
+    alongside the frame's render and ride the existing single readback;
+    a nonzero second value means the kernel dropped highest-id faces
+    (the documented overflow contract) and ``cap`` needs raising for
+    this mesh/zoom regime.
+    """
+    from acr_tpu.viz.raster_pallas import bin_cap_for, bin_overflow_stats
+    v_world = verts + cam_trans[:, None, :]
+    all_verts = v_world.reshape(-1, 3)
+    screen, all_faces, _ = _scene_screen_faces(
+        all_verts, detection_flag, faces, verts.shape[1], size, focal,
+        camera, fov_deg)
+    return bin_overflow_stats(screen, all_faces, size, size,
+                              cap=bin_cap_for(size))
+
+
 @functools.partial(jax.jit, static_argnames=("size", "focal", "backend",
-                                             "camera", "fov_deg"))
+                                             "camera", "fov_deg",
+                                             "interpret"))
 def render_hands(verts: jnp.ndarray,
                  cam_trans: jnp.ndarray,
                  detection_flag: jnp.ndarray,
@@ -195,7 +245,8 @@ def render_hands(verts: jnp.ndarray,
                  focal: float = 1265.0,
                  backend: str = "auto",
                  camera: str = "intrinsics",
-                 fov_deg: float = 22.5) -> jnp.ndarray:
+                 fov_deg: float = 22.5,
+                 interpret: bool = False) -> jnp.ndarray:
     """Render both hand meshes of one image -> (size, size, 4) RGBA.
 
     verts (2, 778, 3) root-relative; cam_trans (2, 3) metric camera
@@ -215,36 +266,43 @@ def render_hands(verts: jnp.ndarray,
     """
     v_world = verts + cam_trans[:, None, :]            # (2, 778, 3)
     all_verts = v_world.reshape(-1, 3)
-    offs = jnp.arange(2, dtype=faces.dtype)[:, None, None] * verts.shape[1]
-    all_faces = jnp.where(detection_flag[:, None, None], faces + offs, 0)
-    all_faces = all_faces.reshape(-1, 3)
-    # pad to a face-chunk multiple with degenerate faces
-    pad = (-all_faces.shape[0]) % 128
-    all_faces = jnp.concatenate(
-        [all_faces, jnp.zeros((pad, 3), all_faces.dtype)], axis=0)
+    screen, all_faces, pad = _scene_screen_faces(
+        all_verts, detection_flag, faces, verts.shape[1], size, focal,
+        camera, fov_deg)
 
     normals = compute_vertex_normals(all_verts, all_faces)
-    if camera == "ortho":
-        screen = _project_ortho(all_verts, size / 2.0, size / 2.0, size / 2.0)
-    else:
-        f = fov_focal_px(fov_deg, size) if camera == "fov" else focal
-        screen = _project(all_verts, f, size / 2.0, size / 2.0)
     if backend == "auto":
         backend = "scan" if jax.default_backend() == "cpu" else "pallas"
     if backend == "pallas":
         from acr_tpu.viz.raster_pallas import (
-            BIN_CAP, rasterize_pallas, rasterize_pallas_binned)
+            bin_cap_for, bin_overflow_stats, rasterize_pallas,
+            rasterize_pallas_binned)
         # bbox-binned per-tile face lists: O(pixels x faces/tile)
         # instead of O(pixels x faces). At high resolution each 8x256px
         # tile intersects a smaller slice of the mesh, so a smaller
         # capacity holds (and halves the kernel's chunk count):
         # measured 17.7 -> 2.4 ms at 512px, 277 -> ~40 ms at 2048px.
-        cap = BIN_CAP if size <= 1024 else BIN_CAP // 2
+        cap = bin_cap_for(size)
         if all_faces.shape[0] > cap:
-            face_id, bary = rasterize_pallas_binned(screen, all_faces,
-                                                    size, size, bin_cap=cap)
+            # exactness guarantee: when any tile's bbox-overlap count
+            # exceeds the bin capacity (extreme close-ups / degenerate
+            # cameras — observed live via the overflow probe), fall
+            # back to the flat kernel for THIS frame instead of
+            # silently dropping faces. lax.cond executes only the
+            # taken branch, so the common case stays at binned speed.
+            _, n_over = bin_overflow_stats(screen, all_faces, size, size,
+                                           cap=cap)
+            face_id, bary = jax.lax.cond(
+                n_over > 0,
+                lambda s, f: rasterize_pallas(s, f, size, size,
+                                              interpret=interpret),
+                lambda s, f: rasterize_pallas_binned(s, f, size, size,
+                                                     bin_cap=cap,
+                                                     interpret=interpret),
+                screen, all_faces)
         else:
-            face_id, bary = rasterize_pallas(screen, all_faces, size, size)
+            face_id, bary = rasterize_pallas(screen, all_faces, size, size,
+                                             interpret=interpret)
     else:
         face_id, bary = rasterize(screen, all_faces, size, size)
 

@@ -35,6 +35,13 @@ COL_TILE = 256        # width tile: keeps (8, 256, 128) intermediates in VMEM
 BIN_CAP = 512         # default per-tile face capacity for the binned kernel
 
 
+def bin_cap_for(size: int) -> int:
+    """Per-tile face capacity by render size: at high resolution each
+    8-row tile intersects a smaller slice of the mesh, so half the
+    capacity holds (and halves the kernel's chunk count)."""
+    return BIN_CAP if size <= 1024 else BIN_CAP // 2
+
+
 def _raster_kernel(tri_ref, inv_ref, fid_ref, b0_ref, b1_ref, *,
                    n_chunks: int, col_tile: int):
     """One (row, column) tile: fold face chunks, carry buffers functionally.

@@ -168,6 +168,19 @@ class Visualizer:
             size=self.cfg.render_size, focal=float(self.cfg.focal_length),
             camera=self.camera, fov_deg=float(self.cfg.FOV))
 
+    def overflow_probe_device(self, out: Dict, batch_idx: int = 0):
+        """Dispatch the binned-raster capacity probe (no sync).
+
+        Returns device scalars (max_faces_per_tile, n_overflowing_tiles)
+        to ride the frame's single readback; see
+        raster.render_overflow_probe."""
+        from acr_tpu.viz.raster import render_overflow_probe
+        return render_overflow_probe(
+            out["verts"][batch_idx], out["cam_trans"][batch_idx],
+            out["detection_flag"][batch_idx], self.faces,
+            size=self.cfg.render_size, focal=float(self.cfg.focal_length),
+            camera=self.camera, fov_deg=float(self.cfg.FOV))
+
     def compose_on_frame(self, rgba: np.ndarray, bgr_frame: np.ndarray,
                          meta: Dict) -> np.ndarray:
         """Host-side compositing + paste-back; returns BGR."""

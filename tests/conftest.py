@@ -21,6 +21,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: the suite is compile-dominated (the
+# pipeline tests each jit the full network; ~26 min cold on this
+# single-core host). Caching compilations across test processes makes
+# repeat runs fast. Keyed by backend+flags, so it coexists with the TPU
+# cache entries in the same directory (.jax_cache is git-ignored).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("ACR_COMPILE_CACHE",
+                                 os.path.join(_REPO, ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 import numpy as np
 import pytest
 

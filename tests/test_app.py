@@ -89,6 +89,24 @@ def test_image_mode_and_temporal(tmp_path, frames_dir, small_params):
             assert np.isfinite(np.float32(h["poses"])).all()
 
 
+def test_raster_overflow_probe_wiring(tmp_path, frames_dir, small_params,
+                                      caplog):
+    # raster_overflow_every=1 dispatches the capacity probe with every
+    # rendered frame and consumes it from the single readback
+    import logging
+    img0 = os.path.join(frames_dir, "000000.jpg")
+    cfg = make_cfg(tmp_path, demo_mode="image", inputs=img0,
+                   raster_overflow_every=1)
+    app = ACRApp(cfg, params=small_params)
+    with caplog.at_level(logging.DEBUG, logger="acr_tpu"):
+        app.run()
+    assert app._frame_idx == 1
+    probe_lines = [r for r in caplog.records
+                   if "raster" in r.getMessage() and "capacity" in
+                   r.getMessage() or "overflow" in r.getMessage()]
+    assert probe_lines, "probe produced no log line"
+
+
 def test_image_mode_missing_input(tmp_path, small_params):
     cfg = make_cfg(tmp_path, demo_mode="image", inputs="/nonexistent.jpg")
     app = ACRApp(cfg, params=small_params)

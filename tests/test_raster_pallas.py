@@ -123,6 +123,53 @@ def test_bin_overflow_stats(rng):
     assert int(n_over) > 0 and int(n_ok) == 0
 
 
+def test_render_hands_overflow_falls_back_exact(rng):
+    """A scene whose tiles exceed bin capacity must render EXACTLY like
+    the scan backend: the lax.cond fallback takes the flat kernel, so
+    no face is ever silently dropped (observed live on the magic.jpg
+    demo: 1191 faces in one tile vs capacity 512)."""
+    from acr_tpu.viz.raster import render_hands
+    # both hands collapsed near the image center -> extreme face density
+    verts = jnp.asarray(rng.randn(2, 778, 3).astype(np.float32) * 0.005)
+    cam_trans = jnp.asarray(np.array([[0.0, 0.0, 0.4], [0.01, 0.0, 0.4]],
+                                     np.float32))
+    faces = jnp.asarray(rng.randint(0, 778, (2, 1538, 3)).astype(np.int32))
+    det = jnp.array([True, True])
+    kw = dict(size=128, focal=120.0)
+    from acr_tpu.viz.raster import render_overflow_probe
+    _, n_over = render_overflow_probe(verts, cam_trans, det, faces, size=128,
+                                      focal=120.0)
+    assert int(n_over) > 0, "scene must actually overflow the bin capacity"
+    rgba_p = render_hands(verts, cam_trans, det, faces, backend="pallas",
+                          interpret=True, **kw)
+    rgba_s = render_hands(verts, cam_trans, det, faces, backend="scan", **kw)
+    np.testing.assert_allclose(np.asarray(rgba_p), np.asarray(rgba_s),
+                               atol=1e-5)
+
+
+def test_render_overflow_probe(rng):
+    # the app-facing probe: same geometry prep as render_hands, counts
+    # against the capacity the binned kernel would use at this size
+    from acr_tpu.viz.raster import render_overflow_probe
+    verts = jnp.asarray(rng.randn(2, 778, 3).astype(np.float32) * 0.02)
+    cam_trans = jnp.asarray(np.array([[0.0, 0.0, 0.6], [0.0, 0.0, 0.6]],
+                                     np.float32))
+    faces = jnp.asarray(
+        rng.randint(0, 778, (2, 1538, 3)).astype(np.int32))
+    det = jnp.array([True, True])
+    mx, n_over = render_overflow_probe(verts, cam_trans, det, faces,
+                                       size=512)
+    # a dense random 1538-face blob at the image center easily exceeds
+    # the 512-face tile capacity -> the probe must SEE that
+    assert int(mx) > 0
+    assert int(n_over) >= 0
+    # undetected hands contribute no live faces
+    mx0, n0 = render_overflow_probe(verts, cam_trans,
+                                    jnp.array([False, False]), faces,
+                                    size=512)
+    assert int(mx0) == 0 and int(n0) == 0
+
+
 def test_bin_faces_prestage_2048_shapes(rng):
     # prestage scales to the 2048px tiling (pure JAX, no kernel run)
     screen, faces = make_geometry(rng, n_pts=400)

@@ -40,6 +40,17 @@ def test_s2d_conv3_weights_exact(rng):
     np.testing.assert_allclose(depth_to_space2(macro), ref, atol=1e-5)
 
 
+def test_s2d_pack_out_conv3_weights_exact(rng):
+    from acr_tpu.models.s2d import s2d_pack_out_conv3_weights
+    c, co = 4, 3
+    x = jnp.asarray(rng.randn(2, 16, 12, c).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, c, co).astype(np.float32))
+    ref = space_to_depth2(_conv(x, w))                # pack after conv
+    macro = _conv(x, jnp.asarray(s2d_pack_out_conv3_weights(np.asarray(w))),
+                  stride=2, padding=((1, 1), (1, 1)))
+    np.testing.assert_allclose(macro, ref, atol=1e-5)
+
+
 def test_s2d_strided_conv3_weights_exact(rng):
     c, co = 3, 7
     x = jnp.asarray(rng.randn(2, 16, 12, c).astype(np.float32))
@@ -93,6 +104,64 @@ def test_backbone_s2d_exact(rng):
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-4, rtol=1e-4)
+
+
+def test_resize_bilinear_x2_s2d_exact(rng):
+    from acr_tpu.models.layers import (
+        resize_bilinear_align_corners, resize_bilinear_x2_s2d)
+    x = jnp.asarray(rng.randn(2, 16, 12, 5).astype(np.float32))
+    ref = space_to_depth2(resize_bilinear_align_corners(x, (32, 24)))
+    np.testing.assert_allclose(resize_bilinear_x2_s2d(x), ref, atol=1e-6)
+
+
+def _segm_s2d_params(params):
+    t = transform_params_s2d({"params": {"segm": params["params"]}},
+                             highres=False, segm=True)
+    return {"params": t["params"]["segm"]}
+
+
+def test_segm_s2d_exact(rng):
+    from acr_tpu.models.layers import downsample_nearest_half
+    x = jnp.asarray(rng.randn(1, 16, 16, 32).astype(np.float32) * 0.3)
+    plain = SegmNet()
+    params = plain.init(jax.random.PRNGKey(0), x)
+    ref = plain.apply(params, x)                       # (1, 32, 32, 33)
+    packed = SegmNet(s2d=True).apply(_segm_s2d_params(params), x)
+    assert packed.shape == (1, 16, 16, 132)
+    np.testing.assert_allclose(depth_to_space2(packed), ref,
+                               atol=2e-4, rtol=1e-4)
+    # phase (0,0) channels ARE the nearest 2x downsample (the part-
+    # attention source) — exact by construction
+    np.testing.assert_allclose(packed[..., :33],
+                               downsample_nearest_half(ref),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_segm_s2d_transform_idempotent(rng):
+    x = jnp.asarray(rng.randn(1, 8, 8, 32).astype(np.float32))
+    params = SegmNet().init(jax.random.PRNGKey(0), x)
+    once = transform_params_s2d({"params": {"segm": params["params"]}},
+                                highres=False, segm=True)
+    twice = transform_params_s2d(once, highres=False, segm=True)
+    jax.tree.map(np.testing.assert_array_equal, once, twice)
+
+
+def test_acrnet_s2d_full_exact(rng):
+    """Both s2d rewrites together, whole network, all output maps."""
+    from acr_tpu.models.acr import ACRNet
+    img = (rng.rand(1, 64, 64, 3) * 255).astype(np.uint8)
+    net = ACRNet()
+    params = net.init(jax.random.PRNGKey(2), jnp.asarray(img))
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: x * 0.2 if getattr(p[-1], "key", None) == "scale" else x,
+        params)
+    ref = net.apply(params, jnp.asarray(img))
+    out = ACRNet(s2d_highres=True, s2d_segm=True).apply(
+        transform_params_s2d(params, highres=True, segm=True),
+        jnp.asarray(img))
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=1e-3, rtol=1e-3, err_msg=k)
 
 
 def test_segm_lane_padding_exact_vs_plain(rng):
