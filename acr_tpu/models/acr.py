@@ -121,14 +121,16 @@ class ACRNet(nn.Module):
     head_block_num: int = 2
     params_ch: int = PARAMS_CH
     offset_mode: str = "concat"
-    # exact space-to-depth rewrites (TPU lane utilization; both need
+    # exact space-to-depth rewrites (TPU lane utilization; all need
     # transform_params_s2d'd params — models/s2d.py)
     s2d_highres: bool = False    # HRNet high-res branch
     s2d_segm: bool = False       # segmentation head
+    s2d_stem: bool = False       # packed uint8 input / stem1
 
     @nn.compact
     def __call__(self, image_uint8: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         feats = HRNetBackbone(dtype=self.dtype, s2d0=self.s2d_highres,
+                              s2d_stem=self.s2d_stem,
                               name="backbone")(image_uint8)
         segm_raw = SegmNet(dtype=self.dtype, s2d=self.s2d_segm,
                            name="segm")(feats)

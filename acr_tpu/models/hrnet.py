@@ -74,15 +74,21 @@ class HRModule(nn.Module):
                 if j == i:
                     contrib = ys[j]
                 elif j > i:
-                    contrib = ConvBN(self.channels[i], kernel=1, relu=False,
-                                     dtype=self.dtype, name=f"fuse_{i}_{j}")(ys[j])
                     if i == 0 and self.s2d0:
                         # nearest x2 makes all four phases of a cell
-                        # equal: upsample to the macro grid, then tile
-                        # channels phase-major — exact
+                        # equal, so the packed contribution is the 32ch
+                        # one tiled x4 phase-major — fold that tile into
+                        # the 1x1 conv (weights tiled on the output
+                        # axis, transform_params_s2d) instead of
+                        # materializing 32ch + a tile op — exact
+                        contrib = ConvBN(self.channels[i] * 4, kernel=1,
+                                         relu=False, dtype=self.dtype,
+                                         name=f"fuse_{i}_{j}")(ys[j])
                         contrib = upsample_nearest(contrib, 2 ** (j - 1))
-                        contrib = jnp.tile(contrib, (1, 1, 1, 4))
                     else:
+                        contrib = ConvBN(self.channels[i], kernel=1,
+                                         relu=False, dtype=self.dtype,
+                                         name=f"fuse_{i}_{j}")(ys[j])
                         contrib = upsample_nearest(contrib, 2 ** (j - i))
                 else:
                     contrib = ys[j]
@@ -165,10 +171,16 @@ class SegmNet(nn.Module):
                        name="up1")(x)
             x = ConvBN(64 * 4, kernel=3, use_bias=True, dtype=self.dtype,
                        name="up2")(x)
-            x = ConvBN(self.out_dim * 4, kernel=3, use_bias=True,
+            # the two out convs run at 256 lanes: 132 (= 4*33) straddles
+            # the 128-lane boundary — profiled at 13% MXU vs 81% for the
+            # dense up2. Channels 132..255 are structural zeros (zero
+            # weight columns/rows, zero bias; ReLU keeps them zero), so
+            # the slice back to 132 is exact (transform_params_s2d pads).
+            x = ConvBN(256, kernel=3, use_bias=True,
                        dtype=self.dtype, name="out1")(x)
-            return conv(self.out_dim * 4, 3, use_bias=True, dtype=self.dtype,
-                        name="out_conv2")(x)                # packed logits
+            x = conv(256, 3, use_bias=True, dtype=self.dtype,
+                     name="out_conv2")(x)
+            return x[..., :self.out_dim * 4]                # packed logits
         h, w = x.shape[1], x.shape[2]
         x = resize_bilinear_align_corners(x, (h * 2, w * 2))
         # Up.conv = DoubleConv(in=32, out=64, mid=in//2=16)
@@ -200,11 +212,27 @@ class HRNetBackbone(nn.Module):
     """
     dtype: Any = jnp.float32
     s2d0: bool = False
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, image_uint8: jnp.ndarray) -> jnp.ndarray:
-        x = image_uint8.astype(self.dtype) / 255.0 * 2.0 - 1.0
-        x = ConvBN(64, kernel=3, stride=2, dtype=self.dtype, name="stem1")(x)
+        if self.s2d_stem:
+            # profiled: the (B,512,512,3) normalized tensor and stem1's
+            # 3-input-channel conv ran at 2.7% MXU — a 3-channel minor
+            # dim lane-pads to 128 in HBM tiling (~42x wasted bytes).
+            # 2x2-packing the uint8 image first (12 channels at 256px)
+            # shrinks that, and stem1 becomes the standard stride-2
+            # macro conv on packed input (s2d_strided_conv3_weights) —
+            # exact, landing on the same 256px output grid.
+            from acr_tpu.models.layers import space_to_depth2
+            x = space_to_depth2(image_uint8)
+            x = x.astype(self.dtype) / 255.0 * 2.0 - 1.0
+            x = ConvBN(64, kernel=2, stride=1, padding=((1, 0), (1, 0)),
+                       dtype=self.dtype, name="stem1")(x)
+        else:
+            x = image_uint8.astype(self.dtype) / 255.0 * 2.0 - 1.0
+            x = ConvBN(64, kernel=3, stride=2, dtype=self.dtype,
+                       name="stem1")(x)
         x = ConvBN(64, kernel=3, stride=2, dtype=self.dtype, name="stem2")(x)
         for k in range(4):
             x = Bottleneck(64, downsample=(k == 0), dtype=self.dtype,

@@ -32,9 +32,13 @@ canonical-vs-s2d equality at the conv, module, and backbone level.
 
 from __future__ import annotations
 
+import re
 from typing import Dict
 
 import numpy as np
+
+# fuse_0_<j> (coarse->fine 1x1 into branch 0), NOT fuse_i_0_0 chains
+_FUSE_INTO_B0 = re.compile(r"fuse_0_\d+$")
 
 
 def s2d_conv3_weights(w: np.ndarray) -> np.ndarray:
@@ -117,44 +121,68 @@ def _transform_segm_tree(seg: Dict) -> None:
     folded-BN scale/bias) tile 4x phase-major. Idempotent via the
     canonical input-channel count of each layer.
     """
+    def _pad_out(v, lanes):
+        v = np.asarray(v)
+        return np.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, lanes - v.shape[-1])])
+
     for name in ("up1", "up2", "out1"):
         if name not in seg:
             continue
         k = np.asarray(seg[name]["conv"]["kernel"])
         if k.shape[2] != _SEGM_CANON_IN[name]:      # already transformed
             continue
-        seg[name]["conv"]["kernel"] = s2d_conv3_weights(k)
-        seg[name]["conv"]["bias"] = _tile4(np.asarray(seg[name]["conv"]["bias"]))
-        seg[name]["bn"]["scale"] = _tile4(np.asarray(seg[name]["bn"]["scale"]))
-        seg[name]["bn"]["bias"] = _tile4(np.asarray(seg[name]["bn"]["bias"]))
+        kk = s2d_conv3_weights(k)
+        bias = _tile4(np.asarray(seg[name]["conv"]["bias"]))
+        scale = _tile4(np.asarray(seg[name]["bn"]["scale"]))
+        bbias = _tile4(np.asarray(seg[name]["bn"]["bias"]))
+        if name == "out1":
+            # 132 output lanes straddle the 128-lane MXU tile (13% MXU
+            # profiled); evaluate at 256 with zero-padded params — exact
+            kk, bias = _pad_out(kk, 256), _pad_out(bias, 256)
+            scale, bbias = _pad_out(scale, 256), _pad_out(bbias, 256)
+        seg[name]["conv"]["kernel"] = kk
+        seg[name]["conv"]["bias"] = bias
+        seg[name]["bn"]["scale"] = scale
+        seg[name]["bn"]["bias"] = bbias
     if "out_conv2" in seg:
         k = np.asarray(seg["out_conv2"]["kernel"])
         if k.shape[2] == _SEGM_CANON_IN["out_conv2"]:
-            seg["out_conv2"]["kernel"] = s2d_conv3_weights(k)
-            seg["out_conv2"]["bias"] = _tile4(
-                np.asarray(seg["out_conv2"]["bias"]))
+            kk = s2d_conv3_weights(k)                       # (3,3,132,132)
+            kk = np.pad(kk, ((0, 0), (0, 0), (0, 256 - kk.shape[2]),
+                             (0, 256 - kk.shape[3])))
+            seg["out_conv2"]["kernel"] = kk
+            seg["out_conv2"]["bias"] = _pad_out(
+                _tile4(np.asarray(seg["out_conv2"]["bias"])), 256)
 
 
 def transform_params_s2d(params: Dict, highres: bool = True,
-                         segm: bool = False) -> Dict:
+                         segm: bool = False, stem: bool = False) -> Dict:
     """Rewrite a canonical param tree for the s2d network (idempotent).
 
     ``highres`` touches `backbone/stage*_*`: the b0_* BasicBlock
-    convs/BNs and the first conv of every fuse-down chain out of branch
-    0 (`fuse_{i}_0_0`). ``segm`` touches the `segm` head (macro-conv
-    form for the 256x256 convs). Everything else — and the checkpoint
-    npz format — stays canonical.
+    convs/BNs, the coarse->fine `fuse_0_{j}` 1x1 convs (output tiled
+    x4), the first conv of every fuse-down chain out of branch 0
+    (`fuse_{i}_0_0`), and `transition1_0` (pack folded in). ``segm``
+    touches the `segm` head (macro-conv form for the 256x256 convs,
+    out convs lane-padded to 256). ``stem`` rewrites `stem1` for the
+    2x2-packed uint8 input. Everything else — and the checkpoint npz
+    format — stays canonical.
     """
     import copy
     params = copy.deepcopy(params)
     top = params.get("params", params)
     if segm and "segm" in top:
         _transform_segm_tree(top["segm"])
+    bb = top.get("backbone", top)
+    if stem and "stem1" in bb:
+        k = np.asarray(bb["stem1"]["conv"]["kernel"])
+        if k.shape[0] == 3:                       # canonical (not yet 2x2)
+            bb["stem1"]["conv"]["kernel"] = s2d_strided_conv3_weights(k)
     if not highres:
         import jax
         import jax.numpy as jnp
         return jax.tree.map(jnp.asarray, params)
-    tree = top.get("backbone", top)
+    tree = bb
 
     def _transform_module(mod: Dict) -> None:
         for sub_name, sub in mod.items():
@@ -173,6 +201,14 @@ def transform_params_s2d(params: Dict, highres: bool = True,
                 k = np.asarray(sub["conv"]["kernel"])
                 if k.shape[0] == 3:               # canonical (not yet 2x2)
                     sub["conv"]["kernel"] = s2d_strided_conv3_weights(k)
+            elif _FUSE_INTO_B0.match(sub_name):
+                # coarse->fine 1x1 conv into the packed branch: fold the
+                # x4 phase tile into the conv's output axis — exact
+                k = np.asarray(sub["conv"]["kernel"])
+                if k.shape[3] <= 64:              # canonical (not yet 4Co)
+                    sub["conv"]["kernel"] = np.tile(k, (1, 1, 1, 4))
+                    sub["bn"]["scale"] = _tile4(np.asarray(sub["bn"]["scale"]))
+                    sub["bn"]["bias"] = _tile4(np.asarray(sub["bn"]["bias"]))
 
     stage_keys = [k for k in tree
                   if k.startswith(("stage2_", "stage3_", "stage4_"))]

@@ -166,15 +166,17 @@ class ACRPipeline:
                           params_ch=cfg.map_channels,
                           offset_mode=cfg.offset_mode,
                           s2d_highres=cfg.s2d_highres,
-                          s2d_segm=cfg.s2d_segm)
+                          s2d_segm=cfg.s2d_segm,
+                          s2d_stem=cfg.s2d_stem)
         self.params = params if params is not None else load_params(cfg.model_path)
-        if cfg.s2d_highres or cfg.s2d_segm:
+        if cfg.s2d_highres or cfg.s2d_segm or cfg.s2d_stem:
             # exact weight rewrite for the space-to-depth high-res
-            # branch / segm head; checkpoints stay canonical on disk
-            # (models/s2d.py)
+            # branch / segm head / packed stem; checkpoints stay
+            # canonical on disk (models/s2d.py)
             from acr_tpu.models.s2d import transform_params_s2d
             self.params = transform_params_s2d(
-                self.params, highres=cfg.s2d_highres, segm=cfg.s2d_segm)
+                self.params, highres=cfg.s2d_highres, segm=cfg.s2d_segm,
+                stem=cfg.s2d_stem)
         # merge-mode cross-hand fusion head (converted from the reference's
         # ResultParser.fusion_fc_end) is carried outside the network tree
         self.merge_params = None

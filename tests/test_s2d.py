@@ -146,8 +146,24 @@ def test_segm_s2d_transform_idempotent(rng):
     jax.tree.map(np.testing.assert_array_equal, once, twice)
 
 
+def test_stem_s2d_exact(rng):
+    """Packed-input stem1 (2x2 uint8 pack + strided macro conv) is exact."""
+    img = (rng.rand(2, 64, 64, 3) * 255).astype(np.uint8)
+    bb = HRNetBackbone()
+    params = bb.init(jax.random.PRNGKey(3), jnp.asarray(img))
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: x * 0.2 if getattr(p[-1], "key", None) == "scale" else x,
+        params)
+    ref = bb.apply(params, jnp.asarray(img))
+    out = HRNetBackbone(s2d_stem=True).apply(
+        transform_params_s2d(params, highres=False, stem=True),
+        jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=1e-4)
+
+
 def test_acrnet_s2d_full_exact(rng):
-    """Both s2d rewrites together, whole network, all output maps."""
+    """All three s2d rewrites together, whole network, all output maps."""
     from acr_tpu.models.acr import ACRNet
     img = (rng.rand(1, 64, 64, 3) * 255).astype(np.uint8)
     net = ACRNet()
@@ -156,8 +172,8 @@ def test_acrnet_s2d_full_exact(rng):
         lambda p, x: x * 0.2 if getattr(p[-1], "key", None) == "scale" else x,
         params)
     ref = net.apply(params, jnp.asarray(img))
-    out = ACRNet(s2d_highres=True, s2d_segm=True).apply(
-        transform_params_s2d(params, highres=True, segm=True),
+    out = ACRNet(s2d_highres=True, s2d_segm=True, s2d_stem=True).apply(
+        transform_params_s2d(params, highres=True, segm=True, stem=True),
         jnp.asarray(img))
     for k in ref:
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
