@@ -106,9 +106,18 @@ def forward_fn(net: ACRNet,
                return_maps: bool = False,
                merge_params: Optional[Dict[str, jnp.ndarray]] = None
                ) -> Dict[str, jnp.ndarray]:
-    """Pure function: (params, manos, uint8 image (B,S,S,3), offsets (B,10))
+    """Pure function: (params, manos, uint8 image, offsets (B,10))
     -> output dict with hand axis [left, right].
+
+    ``image`` is (B,S,S,3) or flattened (B,S,S*3). The frame buffer
+    should cross the jit boundary FLATTENED: a (B,S,S,3) uint8 jit
+    argument tiles its minor dims (S,3) as (32,128) on TPU, so the
+    3-channel lane dim pads 42x in HBM (~268 MB at 512px/b8, ~0.8
+    ms/step just to read); (S, S*3) tiles compactly (1536 = 12*128
+    lanes). 4-D calls still work (CPU tests, parity harness).
     """
+    b, s = image.shape[0], image.shape[1]
+    image = image.reshape(b, s, s, 3)
     outputs = net.apply(params, image)
     parsed = parse_outputs(
         outputs,
@@ -258,6 +267,10 @@ class ACRPipeline:
         batch-1 image/webcam modes work on any mesh size.
         """
         image = np.asarray(image)
+        if image.ndim == 4:
+            # flatten (B,S,S,3)->(B,S,S*3): compact TPU lane tiling for
+            # the uint8 upload (see forward_fn docstring); free view
+            image = image.reshape(image.shape[0], image.shape[1], -1)
         offsets = np.asarray(offsets)
         batch = image.shape[0]
         pad = 0

@@ -37,6 +37,9 @@ def _measure(precision: str, batch: int, iters: int):
     fn, cfg = ge._build(512, precision=precision)
     image = np.random.RandomState(0).randint(
         0, 255, (batch, 512, 512, 3)).astype(np.uint8)
+    # flattened (B,S,S*3) upload: compact uint8 lane tiling on TPU
+    # (pipeline/infer.forward_fn docstring)
+    image = image.reshape(batch, 512, -1)
     offsets = np.tile(np.array(
         [[512, 512, 0, 0, 0, 0, 0, 0, 0, 0]], np.float32), (batch, 1))
 
