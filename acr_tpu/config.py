@@ -107,6 +107,8 @@ class Config:
     s2d_segm: bool = True                        # same rewrite for the segm head's 256px convs
     s2d_stem: bool = True                        # packed uint8 input: avoids the lane-padded
                                                  # 3-channel 512px tensor (2.7% MXU profiled)
+    merged_heads: bool = True                    # one dense 512ch transition conv for all 8
+                                                 # head stacks instead of 8 half-lane 64ch ones
     jit_translation_solve: bool = True           # closed-form weighted-LS on device (reference: host solvePnPRansac)
     raster_overflow_every: int = 0               # probe binned-raster tile capacity every N rendered
                                                  # frames (0 = off); overflows are logged as warnings

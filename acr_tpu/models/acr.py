@@ -61,11 +61,14 @@ class HeadStack(nn.Module):
     width: int = 64
     num_blocks: int = 2
     dtype: Any = jnp.float32
+    pre_transitioned: bool = False   # input already went through the
+                                     # merged transition conv (ACRNet)
 
     @nn.compact
     def __call__(self, x):
-        x = ConvBN(self.width, kernel=3, stride=2, use_bias=True,
-                   dtype=self.dtype, name="trans")(x)
+        if not self.pre_transitioned:
+            x = ConvBN(self.width, kernel=3, stride=2, use_bias=True,
+                       dtype=self.dtype, name="trans")(x)
         for k in range(self.num_blocks):
             x = BasicBlock(self.width, dtype=self.dtype, name=f"blk{k}")(x)
         return conv(self.out_ch, 1, pad=0, use_bias=True, dtype=self.dtype,
@@ -126,6 +129,10 @@ class ACRNet(nn.Module):
     s2d_highres: bool = False    # HRNet high-res branch
     s2d_segm: bool = False       # segmentation head
     s2d_stem: bool = False       # packed uint8 input / stem1
+    merged_heads: bool = False   # one dense 512ch transition conv for
+                                 # all 8 head stacks (64ch each = half
+                                 # lane occupancy); exact via load-time
+                                 # weight concat (s2d.transform)
 
     @nn.compact
     def __call__(self, image_uint8: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -150,17 +157,36 @@ class ACRNet(nn.Module):
             [feats, jnp.broadcast_to(coords, feats.shape[:3] + (2,))], axis=-1)
 
         # ---- global module (per hand) ----
+        kinds = ("params", "center", "cam") + (
+            ("prior",) if self.inter_prior else ())
+        pre = None
+        if self.merged_heads:
+            # the per-head k3/s2 transition convs all read the same x
+            # and emit 64ch (half lane occupancy); one dense conv over
+            # the concatenated output axis is the same math
+            head_names = [f"{s}_{k}" for s in ("l", "r") for k in kinds]
+            t = ConvBN(64 * len(head_names), kernel=3, stride=2,
+                       use_bias=True, dtype=self.dtype,
+                       name="heads_trans")(x)
+            pre = {nm: t[..., i * 64:(i + 1) * 64]
+                   for i, nm in enumerate(head_names)}
+
+        def head_stack(side: str, kind: str, out_ch: int):
+            nm = f"{side}_{kind}"
+            if pre is not None:
+                return HeadStack(out_ch, num_blocks=self.head_block_num,
+                                 pre_transitioned=True, dtype=self.dtype,
+                                 name=f"{nm}_head")(pre[nm])
+            return HeadStack(out_ch, num_blocks=self.head_block_num,
+                             dtype=self.dtype, name=f"{nm}_head")(x)
+
         def global_maps(side: str):
-            params = HeadStack(self.params_ch, num_blocks=self.head_block_num,
-                               dtype=self.dtype, name=f"{side}_params_head")(x)
-            center = HeadStack(1, num_blocks=self.head_block_num,
-                               dtype=self.dtype, name=f"{side}_center_head")(x)
-            cam = HeadStack(CAM_CH, num_blocks=self.head_block_num,
-                            dtype=self.dtype, name=f"{side}_cam_head")(x)
+            params = head_stack(side, "params", self.params_ch)
+            center = head_stack(side, "center", 1)
+            cam = head_stack(side, "cam", CAM_CH)
             prior = None
             if self.inter_prior:
-                prior = HeadStack(self.params_ch, num_blocks=self.head_block_num,
-                                  dtype=self.dtype, name=f"{side}_prior_head")(x)
+                prior = head_stack(side, "prior", self.params_ch)
             # positive scale via 1.1^s (reference: acr/model.py:95-96)
             cam = jnp.concatenate(
                 [jnp.power(1.1, cam[..., :1]), cam[..., 1:]], axis=-1)

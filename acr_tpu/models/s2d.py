@@ -155,8 +155,37 @@ def _transform_segm_tree(seg: Dict) -> None:
                 _tile4(np.asarray(seg["out_conv2"]["bias"])), 256)
 
 
+def _merge_head_transitions(top: Dict) -> None:
+    """Concatenate the 8 head stacks' transition convs into one dense
+    512-channel `heads_trans` ConvBN (exact; order matches ACRNet's
+    head_names slicing: l then r, kinds params/center/cam/prior).
+    Idempotent; no-op if the tree lacks the per-head trans convs."""
+    names = []
+    for side in ("l", "r"):
+        for kind in ("params", "center", "cam", "prior"):
+            nm = f"{side}_{kind}_head"
+            if nm in top and "trans" in top[nm]:
+                names.append(nm)
+    if "heads_trans" in top or not names:
+        return
+    ks, cbs, ss, bs = [], [], [], []
+    for nm in names:
+        tr = top[nm].pop("trans")
+        ks.append(np.asarray(tr["conv"]["kernel"]))
+        cbs.append(np.asarray(tr["conv"]["bias"]))
+        ss.append(np.asarray(tr["bn"]["scale"]))
+        bs.append(np.asarray(tr["bn"]["bias"]))
+    top["heads_trans"] = {
+        "conv": {"kernel": np.concatenate(ks, axis=3),
+                 "bias": np.concatenate(cbs)},
+        "bn": {"scale": np.concatenate(ss),
+               "bias": np.concatenate(bs)},
+    }
+
+
 def transform_params_s2d(params: Dict, highres: bool = True,
-                         segm: bool = False, stem: bool = False) -> Dict:
+                         segm: bool = False, stem: bool = False,
+                         merged_heads: bool = False) -> Dict:
     """Rewrite a canonical param tree for the s2d network (idempotent).
 
     ``highres`` touches `backbone/stage*_*`: the b0_* BasicBlock
@@ -165,14 +194,17 @@ def transform_params_s2d(params: Dict, highres: bool = True,
     (`fuse_{i}_0_0`), and `transition1_0` (pack folded in). ``segm``
     touches the `segm` head (macro-conv form for the 256x256 convs,
     out convs lane-padded to 256). ``stem`` rewrites `stem1` for the
-    2x2-packed uint8 input. Everything else — and the checkpoint npz
-    format — stays canonical.
+    2x2-packed uint8 input. ``merged_heads`` concatenates the 8 head
+    stacks' transition convs into one `heads_trans`. Everything else —
+    and the checkpoint npz format — stays canonical.
     """
     import copy
     params = copy.deepcopy(params)
     top = params.get("params", params)
     if segm and "segm" in top:
         _transform_segm_tree(top["segm"])
+    if merged_heads:
+        _merge_head_transitions(top)
     bb = top.get("backbone", top)
     if stem and "stem1" in bb:
         k = np.asarray(bb["stem1"]["conv"]["kernel"])

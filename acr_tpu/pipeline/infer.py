@@ -176,16 +176,19 @@ class ACRPipeline:
                           offset_mode=cfg.offset_mode,
                           s2d_highres=cfg.s2d_highres,
                           s2d_segm=cfg.s2d_segm,
-                          s2d_stem=cfg.s2d_stem)
+                          s2d_stem=cfg.s2d_stem,
+                          merged_heads=cfg.merged_heads)
         self.params = params if params is not None else load_params(cfg.model_path)
-        if cfg.s2d_highres or cfg.s2d_segm or cfg.s2d_stem:
+        if (cfg.s2d_highres or cfg.s2d_segm or cfg.s2d_stem
+                or cfg.merged_heads):
             # exact weight rewrite for the space-to-depth high-res
-            # branch / segm head / packed stem; checkpoints stay
-            # canonical on disk (models/s2d.py)
+            # branch / segm head / packed stem / merged head
+            # transitions; checkpoints stay canonical on disk
+            # (models/s2d.py)
             from acr_tpu.models.s2d import transform_params_s2d
             self.params = transform_params_s2d(
                 self.params, highres=cfg.s2d_highres, segm=cfg.s2d_segm,
-                stem=cfg.s2d_stem)
+                stem=cfg.s2d_stem, merged_heads=cfg.merged_heads)
         # merge-mode cross-hand fusion head (converted from the reference's
         # ResultParser.fusion_fc_end) is carried outside the network tree
         self.merge_params = None

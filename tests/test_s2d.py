@@ -162,8 +162,28 @@ def test_stem_s2d_exact(rng):
                                atol=5e-4, rtol=1e-4)
 
 
+def test_merged_heads_exact(rng):
+    """One dense 512ch transition conv == 8 separate 64ch ones."""
+    from acr_tpu.models.acr import ACRNet
+    img = (rng.rand(1, 64, 64, 3) * 255).astype(np.uint8)
+    net = ACRNet()
+    params = net.init(jax.random.PRNGKey(4), jnp.asarray(img))
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: x * 0.2 if getattr(p[-1], "key", None) == "scale" else x,
+        params)
+    ref = net.apply(params, jnp.asarray(img))
+    merged = transform_params_s2d(params, highres=False, merged_heads=True)
+    # per-head trans convs removed; one concatenated conv added
+    assert "heads_trans" in merged["params"]
+    assert "trans" not in merged["params"]["l_params_head"]
+    out = ACRNet(merged_heads=True).apply(merged, jnp.asarray(img))
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=1e-4, rtol=1e-4, err_msg=k)
+
+
 def test_acrnet_s2d_full_exact(rng):
-    """All three s2d rewrites together, whole network, all output maps."""
+    """All four exact rewrites together, whole network, all output maps."""
     from acr_tpu.models.acr import ACRNet
     img = (rng.rand(1, 64, 64, 3) * 255).astype(np.uint8)
     net = ACRNet()
@@ -172,8 +192,10 @@ def test_acrnet_s2d_full_exact(rng):
         lambda p, x: x * 0.2 if getattr(p[-1], "key", None) == "scale" else x,
         params)
     ref = net.apply(params, jnp.asarray(img))
-    out = ACRNet(s2d_highres=True, s2d_segm=True, s2d_stem=True).apply(
-        transform_params_s2d(params, highres=True, segm=True, stem=True),
+    out = ACRNet(s2d_highres=True, s2d_segm=True, s2d_stem=True,
+                 merged_heads=True).apply(
+        transform_params_s2d(params, highres=True, segm=True, stem=True,
+                             merged_heads=True),
         jnp.asarray(img))
     for k in ref:
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
