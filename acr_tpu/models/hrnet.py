@@ -219,21 +219,28 @@ class HRNetBackbone(nn.Module):
         if self.s2d_stem:
             # profiled: the (B,512,512,3) normalized tensor and stem1's
             # 3-input-channel conv ran at 2.7% MXU — a 3-channel minor
-            # dim lane-pads to 128 in HBM tiling (~42x wasted bytes).
-            # 2x2-packing the uint8 image first (12 channels at 256px)
-            # shrinks that, and stem1 becomes the standard stride-2
-            # macro conv on packed input (s2d_strided_conv3_weights) —
-            # exact, landing on the same 256px output grid.
-            from acr_tpu.models.layers import space_to_depth2
-            x = space_to_depth2(image_uint8)
+            # dim lane-pads to 128 in HBM tiling (~42x wasted bytes),
+            # and a 2x2 space-to-depth pack pays a 0.83 ms/step
+            # transpose. W-ONLY packing (B,S,S,3)->(B,S,S/4,12) is a
+            # FREE row-major reshape; stem1 consumes the 4-packed rows
+            # and emits W-packed-by-2 output, and stem2 folds the
+            # unpack into its stride (s2d.wpack_strided_conv3_weights)
+            # — exact, landing on the canonical 128px/64ch grid.
+            b, s = image_uint8.shape[0], image_uint8.shape[1]
+            x = image_uint8.reshape(b, s, s // 4, 12)
             x = x.astype(self.dtype) / 255.0 * 2.0 - 1.0
-            x = ConvBN(64, kernel=2, stride=1, padding=((1, 0), (1, 0)),
-                       dtype=self.dtype, name="stem1")(x)
+            x = ConvBN(64 * 2, kernel=(3, 2), stride=(2, 1),
+                       padding=((1, 1), (1, 0)), dtype=self.dtype,
+                       name="stem1")(x)
+            x = ConvBN(64, kernel=(3, 2), stride=(2, 1),
+                       padding=((1, 1), (1, 0)), dtype=self.dtype,
+                       name="stem2")(x)
         else:
             x = image_uint8.astype(self.dtype) / 255.0 * 2.0 - 1.0
             x = ConvBN(64, kernel=3, stride=2, dtype=self.dtype,
                        name="stem1")(x)
-        x = ConvBN(64, kernel=3, stride=2, dtype=self.dtype, name="stem2")(x)
+            x = ConvBN(64, kernel=3, stride=2, dtype=self.dtype,
+                       name="stem2")(x)
         for k in range(4):
             x = Bottleneck(64, downsample=(k == 0), dtype=self.dtype,
                            name=f"layer1_{k}")(x)          # -> 256 ch, /4

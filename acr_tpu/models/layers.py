@@ -46,12 +46,18 @@ def conv(features: int, kernel: int, stride: int = 1, pad: Optional[int] = None,
     """Torch-semantics Conv2d: explicit symmetric padding (default k//2).
 
     ``padding`` overrides with an explicit asymmetric spec (used by the
-    space-to-depth macro convs, which need ((1,0),(1,0)))."""
+    space-to-depth macro convs, which need ((1,0),(1,0))). ``kernel``
+    and ``stride`` accept (kh, kw) tuples for anisotropic macro convs
+    (the W-packed stem)."""
+    if isinstance(kernel, int):
+        kernel = (kernel, kernel)
+    if isinstance(stride, int):
+        stride = (stride, stride)
     if padding is None:
         if pad is None:
-            pad = kernel // 2
+            pad = kernel[0] // 2
         padding = ((pad, pad), (pad, pad))
-    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+    return nn.Conv(features, kernel, strides=stride,
                    padding=padding, use_bias=use_bias,
                    dtype=dtype, name=name)
 

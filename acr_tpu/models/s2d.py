@@ -107,6 +107,32 @@ def s2d_pack_out_conv3_weights(w: np.ndarray) -> np.ndarray:
     return out
 
 
+def wpack_strided_conv3_weights(w: np.ndarray, pack_in: int,
+                                pack_out: int) -> np.ndarray:
+    """(3,3,C,Co) stride-2 kernel -> (3,2, pack_in*C, pack_out*Co) macro
+    kernel on W-only-packed activations (stride (2,1), padding
+    ((1,1),(1,0))); requires ``pack_in == 2*pack_out``.
+
+    W-only packing (B,H,W,C) -> (B,H,W/P,P*C), channel = phase*C + c,
+    is a FREE row-major reshape — no transpose, unlike the 2x2
+    space-to-depth pack. Output phase q of macro cell w is the original
+    stride-2 output at x' = pack_out*w + q; its tap t reads original
+    x = pack_in*w + 2q - 1 + t, i.e. macro cell w + (2q-1+t)//pack_in
+    (kernel W index that +1), phase (2q-1+t) % pack_in. The H axis
+    keeps the canonical k3/s2/pad1 geometry.
+    """
+    kh, kw, c, co = w.shape
+    assert (kh, kw) == (3, 3) and pack_in == 2 * pack_out, (w.shape, pack_in)
+    out = np.zeros((3, 2, pack_in * c, pack_out * co), w.dtype)
+    for q in range(pack_out):
+        for t in range(3):
+            x = 2 * q - 1 + t                 # relative to pack_in * w
+            m = x // pack_in                  # -1 (left pad cell) or 0
+            p = x % pack_in
+            out[:, m + 1, p * c:(p + 1) * c, q * co:(q + 1) * co] = w[:, t]
+    return out
+
+
 def _tile4(v: np.ndarray) -> np.ndarray:
     return np.tile(np.asarray(v), 4)
 
@@ -208,8 +234,17 @@ def transform_params_s2d(params: Dict, highres: bool = True,
     bb = top.get("backbone", top)
     if stem and "stem1" in bb:
         k = np.asarray(bb["stem1"]["conv"]["kernel"])
-        if k.shape[0] == 3:                       # canonical (not yet 2x2)
-            bb["stem1"]["conv"]["kernel"] = s2d_strided_conv3_weights(k)
+        if k.shape[1] == 3:                       # canonical (not yet W-packed)
+            # stem1 reads 4-W-packed rows, emits 2-W-packed output
+            # (x2 q-major BN vectors); stem2 folds the unpack into its
+            # stride — downstream shapes unchanged
+            bb["stem1"]["conv"]["kernel"] = wpack_strided_conv3_weights(k, 4, 2)
+            bn = bb["stem1"]["bn"]
+            bn["scale"] = np.tile(np.asarray(bn["scale"]), 2)
+            bn["bias"] = np.tile(np.asarray(bn["bias"]), 2)
+        k2 = np.asarray(bb["stem2"]["conv"]["kernel"])
+        if k2.shape[1] == 3:                      # canonical (not yet W-packed)
+            bb["stem2"]["conv"]["kernel"] = wpack_strided_conv3_weights(k2, 2, 1)
     if not highres:
         import jax
         import jax.numpy as jnp
