@@ -78,8 +78,11 @@ class HeadStack(nn.Module):
 class LocallyConnected(nn.Module):
     """Per-position 1x1 'conv' over a 16x1 joint grid (PARE-style head).
 
-    Unshared weights per joint: out[b,o,j] = sum_c w[o,c,j] * x[b,c,j]
+    Unshared weights per joint: out[b,o,j] = sum_c w[o,c,j] * x[b,j,c]
     — one einsum (reference: acr/model.py:541-569 via unfold/broadcast).
+    ``x`` is (B, positions, in_ch): in_ch minor keeps the activations
+    lane-dense on TPU (a (B,C,16) layout pads 16 -> 128 lanes, 8x).
+    The ``w`` param layout (O, C, J) matches the checkpoint converter.
     """
     out_ch: int = 6
     in_ch: int = 256
@@ -87,24 +90,26 @@ class LocallyConnected(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # x: (B, in_ch, positions)
+    def __call__(self, x):  # x: (B, positions, in_ch)
         w = self.param("w", nn.initializers.normal(1.0),
                        (self.out_ch, self.in_ch, self.positions))
-        return jnp.einsum("ocj,bcj->boj", w.astype(self.dtype), x)
+        return jnp.einsum("ocj,bjc->boj", w.astype(self.dtype), x)
 
 
 def hadamard_pool(features: jnp.ndarray, attention: jnp.ndarray) -> jnp.ndarray:
     """Spatial-softmax attention pooling.
 
-    features (B,H,W,C), attention (B,H,W,J) -> (B,C,J):
+    features (B,H,W,C), attention (B,H,W,J) -> (B,J,C):
     softmax attention over H*W per part, then matmul with features
-    (reference: acr/model.py:103-113).
+    (reference: acr/model.py:103-113, which emits (B,C,J); the
+    transposed layout keeps C=256 on the TPU lane dim — J=32 minor
+    would pad 4x and measured 12 TFLOP/s).
     """
     b, h, w, c = features.shape
     j = attention.shape[-1]
     att = jax.nn.softmax(attention.reshape(b, h * w, j), axis=1)
     feat = features.reshape(b, h * w, c)
-    return jnp.einsum("bpj,bpc->bcj", att, feat)
+    return jnp.einsum("bpj,bpc->bjc", att, feat)
 
 
 class ACRNet(nn.Module):
@@ -163,7 +168,12 @@ class ACRNet(nn.Module):
         if self.merged_heads:
             # the per-head k3/s2 transition convs all read the same x
             # and emit 64ch (half lane occupancy); one dense conv over
-            # the concatenated output axis is the same math
+            # the concatenated output axis is the same math. NOTE:
+            # merging the per-head 1x1 OUT convs the same way was
+            # measured and REVERTED — concatenating the 8 block outputs
+            # puts half the heads at 64-lane (half-tile) offsets, and
+            # the resulting read-modify-write stores cost more
+            # (+0.32 ms) than the merged out conv saved (-0.23 ms).
             head_names = [f"{s}_{k}" for s in ("l", "r") for k in kinds]
             t = ConvBN(64 * len(head_names), kernel=3, stride=2,
                        use_bias=True, dtype=self.dtype,
@@ -204,13 +214,13 @@ class ACRNet(nn.Module):
         shape_feats = conv(64, 1, pad=0, use_bias=True, dtype=self.dtype,
                            name="cam_shape_conv")(contact_feats)     # (B,128,128,64)
 
-        pooled_contact = hadamard_pool(contact_feats, part_att)      # (B,256,32)
-        pooled_shape = hadamard_pool(shape_feats, part_att)          # (B,64,32)
+        pooled_contact = hadamard_pool(contact_feats, part_att)      # (B,32,256)
+        pooled_shape = hadamard_pool(shape_feats, part_att)          # (B,32,64)
 
         # parts 0..15 are RIGHT, 16..31 LEFT (reference: acr/model.py:141-146)
         per_side = {
-            "r": (pooled_contact[:, :, :16], pooled_shape[:, :, :16]),
-            "l": (pooled_contact[:, :, 16:], pooled_shape[:, :, 16:]),
+            "r": (pooled_contact[:, :16, :], pooled_shape[:, :16, :]),
+            "l": (pooled_contact[:, 16:, :], pooled_shape[:, 16:, :]),
         }
 
         pose_w = self.params_ch - 10                 # 96 for the 6D layout
@@ -223,8 +233,9 @@ class ACRNet(nn.Module):
             offs = LocallyConnected(out_ch=per_joint, dtype=self.dtype,
                                     name=f"{side}_pose_lc")(contact)
             offs = offs.transpose(0, 2, 1).reshape(b, pose_w)
-            # flatten (B,64,16) channel-major, matching torch flatten order
-            shape_flat = shape.reshape(b, 64 * 16)
+            # flatten channel-major (c outer, j inner), matching torch
+            # flatten order; shape is (B,16,64) in the lane-dense layout
+            shape_flat = shape.transpose(0, 2, 1).reshape(b, 64 * 16)
             betas = nn.Dense(10, dtype=self.dtype,
                              name=f"{side}_shape_fc")(shape_flat)
             pare = jnp.concatenate([offs, betas], axis=-1)           # (B,106)

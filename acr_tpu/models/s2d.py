@@ -207,6 +207,10 @@ def _merge_head_transitions(top: Dict) -> None:
         "bn": {"scale": np.concatenate(ss),
                "bias": np.concatenate(bs)},
     }
+    # NOTE: also merging the per-head 1x1 OUT convs block-diagonally
+    # was measured and reverted — the blk-output concat it requires
+    # puts half the heads at 64-lane (half-tile) offsets, and those
+    # read-modify-write stores cost more than the merged conv saved.
 
 
 def transform_params_s2d(params: Dict, highres: bool = True,

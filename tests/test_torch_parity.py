@@ -146,8 +146,9 @@ def test_locally_connected_parity(rng):
 
     from acr_tpu.models.acr import LocallyConnected
     variables = {"params": {"w": jnp.asarray(w.reshape(O, C, J))}}
+    # x is (B, J, C) in the TPU lane-dense layout (C minor)
     got = np.asarray(LocallyConnected(O, C, J).apply(
-        variables, jnp.asarray(x[..., 0])))                  # (B, O, J)
+        variables, jnp.asarray(x[..., 0].transpose(0, 2, 1))))  # (B, O, J)
     np.testing.assert_allclose(got, want[..., 0], atol=1e-5)
 
 
@@ -191,6 +192,8 @@ def test_hadamard_pool_matches_torch(rng):
     # reference semantics (acr/model.py:103-113), NCHW
     tfe = nchw(feats).reshape(B, C, H * W)
     tat = torch.softmax(nchw(att).reshape(B, J, H * W), dim=-1)
-    want = torch.matmul(tat, tfe.transpose(2, 1)).transpose(2, 1).numpy()  # (B, C, J)
+    want = torch.matmul(tat, tfe.transpose(2, 1)).numpy()    # (B, J, C)
+    # hadamard_pool emits (B, J, C) — the reference's (B, C, J)
+    # transposed so C stays on the TPU lane dim
     got = np.asarray(hadamard_pool(jnp.asarray(feats), jnp.asarray(att)))
     np.testing.assert_allclose(got, want, atol=1e-5)
