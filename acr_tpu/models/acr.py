@@ -138,14 +138,19 @@ class ACRNet(nn.Module):
                                  # all 8 head stacks (64ch each = half
                                  # lane occupancy); exact via load-time
                                  # weight concat (s2d.transform)
+    quantize: str = "none"       # 'int8': W8A8 backbone+segm convs
+                                 # (2x MXU on v5e; APPROXIMATE — see
+                                 # ops/quant.py); 'observe': float run
+                                 # that sows per-conv input amax for
+                                 # calibration. Heads/parser stay float.
 
     @nn.compact
     def __call__(self, image_uint8: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         feats = HRNetBackbone(dtype=self.dtype, s2d0=self.s2d_highres,
-                              s2d_stem=self.s2d_stem,
+                              s2d_stem=self.s2d_stem, quant=self.quantize,
                               name="backbone")(image_uint8)
         segm_raw = SegmNet(dtype=self.dtype, s2d=self.s2d_segm,
-                           name="segm")(feats)
+                           quant=self.quantize, name="segm")(feats)
         if self.s2d_segm:
             # packed (B,128,128,132): phase (0,0) channels ARE the
             # 256->128 nearest downsample, so the part attention is a

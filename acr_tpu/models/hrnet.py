@@ -48,6 +48,7 @@ class HRModule(nn.Module):
     multi_scale_output: bool = True
     dtype: Any = jnp.float32
     s2d0: bool = False     # branch 0 carried in space-to-depth form (models/s2d.py)
+    quant: str = "none"    # int8 conv path / calibration (ops/quant.py)
 
     @nn.compact
     def __call__(self, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
@@ -60,7 +61,7 @@ class HRModule(nn.Module):
             h = xs[i]
             width = self.channels[i] * (4 if (i == 0 and self.s2d0) else 1)
             for k in range(self.num_blocks):
-                h = BasicBlock(width, dtype=self.dtype,
+                h = BasicBlock(width, dtype=self.dtype, quant=self.quant,
                                name=f"b{i}_{k}")(h)
             ys.append(h)
         if n == 1:
@@ -83,11 +84,13 @@ class HRModule(nn.Module):
                         # materializing 32ch + a tile op — exact
                         contrib = ConvBN(self.channels[i] * 4, kernel=1,
                                          relu=False, dtype=self.dtype,
+                                         quant=self.quant,
                                          name=f"fuse_{i}_{j}")(ys[j])
                         contrib = upsample_nearest(contrib, 2 ** (j - 1))
                     else:
                         contrib = ConvBN(self.channels[i], kernel=1,
                                          relu=False, dtype=self.dtype,
+                                         quant=self.quant,
                                          name=f"fuse_{i}_{j}")(ys[j])
                         contrib = upsample_nearest(contrib, 2 ** (j - i))
                 else:
@@ -101,10 +104,12 @@ class HRModule(nn.Module):
                             contrib = ConvBN(feats, kernel=2, stride=1,
                                              padding=((1, 0), (1, 0)),
                                              relu=not last, dtype=self.dtype,
+                                             quant=self.quant,
                                              name=f"fuse_{i}_{j}_{k}")(contrib)
                         else:
                             contrib = ConvBN(feats, kernel=3, stride=2,
                                              relu=not last, dtype=self.dtype,
+                                             quant=self.quant,
                                              name=f"fuse_{i}_{j}_{k}")(contrib)
                 acc = contrib if acc is None else acc + contrib
             fused.append(nn.relu(acc))
@@ -158,6 +163,7 @@ class SegmNet(nn.Module):
     dtype: Any = jnp.float32
     lanes: Optional[int] = None    # e.g. 64: lane-padded out convs
     s2d: bool = False              # space-to-depth macro-conv form
+    quant: str = "none"            # int8 conv path (ops/quant.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -168,31 +174,36 @@ class SegmNet(nn.Module):
             assert self.lanes is None, "s2d and lanes are exclusive"
             x = resize_bilinear_x2_s2d(x)                   # (B,H,W,4*32)
             x = ConvBN(16 * 4, kernel=3, use_bias=True, dtype=self.dtype,
-                       name="up1")(x)
+                       quant=self.quant, name="up1")(x)
             x = ConvBN(64 * 4, kernel=3, use_bias=True, dtype=self.dtype,
-                       name="up2")(x)
+                       quant=self.quant, name="up2")(x)
             # the two out convs run at 256 lanes: 132 (= 4*33) straddles
             # the 128-lane boundary — profiled at 13% MXU vs 81% for the
             # dense up2. Channels 132..255 are structural zeros (zero
             # weight columns/rows, zero bias; ReLU keeps them zero), so
             # the slice back to 132 is exact (transform_params_s2d pads).
-            x = ConvBN(256, kernel=3, use_bias=True,
+            x = ConvBN(256, kernel=3, use_bias=True, quant=self.quant,
                        dtype=self.dtype, name="out1")(x)
-            x = conv(256, 3, use_bias=True, dtype=self.dtype,
-                     name="out_conv2")(x)
+            from acr_tpu.models.layers import quant_conv
+            x = quant_conv(self, x, 256, 3, use_bias=True, dtype=self.dtype,
+                           name="out_conv2", quant=self.quant)
             return x[..., :self.out_dim * 4]                # packed logits
         h, w = x.shape[1], x.shape[2]
         x = resize_bilinear_align_corners(x, (h * 2, w * 2))
         # Up.conv = DoubleConv(in=32, out=64, mid=in//2=16)
-        x = ConvBN(16, kernel=3, use_bias=True, dtype=self.dtype, name="up1")(x)
-        x = ConvBN(64, kernel=3, use_bias=True, dtype=self.dtype, name="up2")(x)
+        x = ConvBN(16, kernel=3, use_bias=True, dtype=self.dtype,
+                   quant=self.quant, name="up1")(x)
+        x = ConvBN(64, kernel=3, use_bias=True, dtype=self.dtype,
+                   quant=self.quant, name="up2")(x)
         # segm_net = DoubleConv(64, 33) truncated to [conv, bn, relu, conv];
         # optionally lane-padded 33 -> lanes through both convs, sliced
         if self.lanes is None:
             x = ConvBN(self.out_dim, kernel=3, use_bias=True,
-                       dtype=self.dtype, name="out1")(x)
-            return conv(self.out_dim, 3, use_bias=True, dtype=self.dtype,
-                        name="out_conv2")(x)
+                       dtype=self.dtype, quant=self.quant, name="out1")(x)
+            from acr_tpu.models.layers import quant_conv
+            return quant_conv(self, x, self.out_dim, 3, use_bias=True,
+                              dtype=self.dtype, name="out_conv2",
+                              quant=self.quant)
         x = _PaddedOutBlock(self.out_dim, in_features=64, lanes=self.lanes,
                             dtype=self.dtype, name="out1")(x)
         x = LanePaddedConv(self.out_dim, in_features=self.out_dim,
@@ -213,6 +224,7 @@ class HRNetBackbone(nn.Module):
     dtype: Any = jnp.float32
     s2d0: bool = False
     s2d_stem: bool = False
+    quant: str = "none"            # int8 conv path (ops/quant.py)
 
     @nn.compact
     def __call__(self, image_uint8: jnp.ndarray) -> jnp.ndarray:
@@ -231,19 +243,19 @@ class HRNetBackbone(nn.Module):
             x = x.astype(self.dtype) / 255.0 * 2.0 - 1.0
             x = ConvBN(64 * 2, kernel=(3, 2), stride=(2, 1),
                        padding=((1, 1), (1, 0)), dtype=self.dtype,
-                       name="stem1")(x)
+                       quant=self.quant, name="stem1")(x)
             x = ConvBN(64, kernel=(3, 2), stride=(2, 1),
                        padding=((1, 1), (1, 0)), dtype=self.dtype,
-                       name="stem2")(x)
+                       quant=self.quant, name="stem2")(x)
         else:
             x = image_uint8.astype(self.dtype) / 255.0 * 2.0 - 1.0
             x = ConvBN(64, kernel=3, stride=2, dtype=self.dtype,
-                       name="stem1")(x)
+                       quant=self.quant, name="stem1")(x)
             x = ConvBN(64, kernel=3, stride=2, dtype=self.dtype,
-                       name="stem2")(x)
+                       quant=self.quant, name="stem2")(x)
         for k in range(4):
             x = Bottleneck(64, downsample=(k == 0), dtype=self.dtype,
-                           name=f"layer1_{k}")(x)          # -> 256 ch, /4
+                           quant=self.quant, name=f"layer1_{k}")(x)          # -> 256 ch, /4
 
         # transition1: 256 -> [32 (same res), 64 (stride 2)]
         if self.s2d0:
@@ -252,30 +264,34 @@ class HRNetBackbone(nn.Module):
             # — dense 128-lane MXU work, no relayout op
             x0 = ConvBN(32 * 4, kernel=4, stride=2,
                         padding=((1, 1), (1, 1)), dtype=self.dtype,
-                        name="transition1_0")(x)
+                        quant=self.quant, name="transition1_0")(x)
         else:
-            x0 = ConvBN(32, kernel=3, dtype=self.dtype,
+            x0 = ConvBN(32, kernel=3, dtype=self.dtype, quant=self.quant,
                         name="transition1_0")(x)
         xs = [
             x0,
             ConvBN(64, kernel=3, stride=2, dtype=self.dtype,
-                   name="transition1_1_0")(x),
+                   quant=self.quant, name="transition1_1_0")(x),
         ]
         for m in range(STAGE2["num_modules"]):
             xs = HRModule(STAGE2["channels"], dtype=self.dtype,
-                          s2d0=self.s2d0, name=f"stage2_{m}")(xs)
+                          s2d0=self.s2d0, quant=self.quant,
+                          name=f"stage2_{m}")(xs)
 
         xs = xs + [ConvBN(128, kernel=3, stride=2, dtype=self.dtype,
+                          quant=self.quant,
                           name="transition2_2_0")(xs[-1])]
         for m in range(STAGE3["num_modules"]):
             xs = HRModule(STAGE3["channels"], dtype=self.dtype,
-                          s2d0=self.s2d0, name=f"stage3_{m}")(xs)
+                          s2d0=self.s2d0, quant=self.quant,
+                          name=f"stage3_{m}")(xs)
 
         xs = xs + [ConvBN(256, kernel=3, stride=2, dtype=self.dtype,
+                          quant=self.quant,
                           name="transition3_3_0")(xs[-1])]
         for m in range(STAGE4["num_modules"]):
             last = m == STAGE4["num_modules"] - 1
             xs = HRModule(STAGE4["channels"], multi_scale_output=not last,
                           dtype=self.dtype, s2d0=self.s2d0,
-                          name=f"stage4_{m}")(xs)
+                          quant=self.quant, name=f"stage4_{m}")(xs)
         return depth_to_space2(xs[0]) if self.s2d0 else xs[0]

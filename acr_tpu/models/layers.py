@@ -62,6 +62,29 @@ def conv(features: int, kernel: int, stride: int = 1, pad: Optional[int] = None,
                    dtype=dtype, name=name)
 
 
+def quant_conv(parent: nn.Module, x, features: int, kernel=3, stride=1,
+               pad: Optional[int] = None, padding=None, use_bias: bool = False,
+               name: str = "conv", dtype: Any = jnp.float32,
+               quant: str = "none"):
+    """Conv call site with an optional int8 path (ops/quant.py).
+
+    quant='none': the plain float conv. quant='observe': float conv,
+    but first sow the input amax into the ``quant_stats`` collection
+    (calibration pass). quant='int8': the W8A8 QuantConv with params
+    {kernel_q, wscale, ascale} under the same module name.
+    """
+    if quant == "observe":
+        parent.sow("quant_stats", f"amax_{name}",
+                   jnp.max(jnp.abs(x.astype(jnp.float32))))
+    if quant == "int8":
+        from acr_tpu.ops.quant import QuantConv
+        return QuantConv(features, kernel=kernel, stride=stride, pad=pad,
+                         padding=padding, use_bias=use_bias, dtype=dtype,
+                         name=name)(x)
+    return conv(features, kernel, stride, pad=pad, padding=padding,
+                use_bias=use_bias, dtype=dtype, name=name)(x)
+
+
 class ConvBN(nn.Module):
     """conv -> folded BN -> optional ReLU."""
     features: int
@@ -71,12 +94,13 @@ class ConvBN(nn.Module):
     use_bias: bool = False
     dtype: Any = jnp.float32
     padding: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
+    quant: str = "none"        # 'none' | 'observe' | 'int8' (ops/quant.py)
 
     @nn.compact
     def __call__(self, x):
-        x = conv(self.features, self.kernel, self.stride,
-                 use_bias=self.use_bias, dtype=self.dtype, name="conv",
-                 padding=self.padding)(x)
+        x = quant_conv(self, x, self.features, self.kernel, self.stride,
+                       use_bias=self.use_bias, dtype=self.dtype, name="conv",
+                       padding=self.padding, quant=self.quant)
         x = FoldedBN(self.features, dtype=self.dtype, name="bn")(x)
         return nn.relu(x) if self.relu else x
 
@@ -87,18 +111,22 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        out = conv(self.features, 3, self.stride, dtype=self.dtype, name="conv1")(x)
+        out = quant_conv(self, x, self.features, 3, self.stride,
+                         dtype=self.dtype, name="conv1", quant=self.quant)
         out = FoldedBN(self.features, dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
-        out = conv(self.features, 3, 1, dtype=self.dtype, name="conv2")(out)
+        out = quant_conv(self, out, self.features, 3, 1, dtype=self.dtype,
+                         name="conv2", quant=self.quant)
         out = FoldedBN(self.features, dtype=self.dtype, name="bn2")(out)
         if self.downsample:
-            residual = conv(self.features, 1, self.stride, pad=0,
-                            dtype=self.dtype, name="down_conv")(x)
+            residual = quant_conv(self, x, self.features, 1, self.stride,
+                                  pad=0, dtype=self.dtype, name="down_conv",
+                                  quant=self.quant)
             residual = FoldedBN(self.features, dtype=self.dtype, name="down_bn")(residual)
         return nn.relu(out + residual)
 
@@ -109,23 +137,28 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
+    quant: str = "none"
     EXPANSION: int = 4
 
     @nn.compact
     def __call__(self, x):
         out_feats = self.features * self.EXPANSION
         residual = x
-        out = conv(self.features, 1, 1, pad=0, dtype=self.dtype, name="conv1")(x)
+        out = quant_conv(self, x, self.features, 1, 1, pad=0,
+                         dtype=self.dtype, name="conv1", quant=self.quant)
         out = FoldedBN(self.features, dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
-        out = conv(self.features, 3, self.stride, dtype=self.dtype, name="conv2")(out)
+        out = quant_conv(self, out, self.features, 3, self.stride,
+                         dtype=self.dtype, name="conv2", quant=self.quant)
         out = FoldedBN(self.features, dtype=self.dtype, name="bn2")(out)
         out = nn.relu(out)
-        out = conv(out_feats, 1, 1, pad=0, dtype=self.dtype, name="conv3")(out)
+        out = quant_conv(self, out, out_feats, 1, 1, pad=0,
+                         dtype=self.dtype, name="conv3", quant=self.quant)
         out = FoldedBN(out_feats, dtype=self.dtype, name="bn3")(out)
         if self.downsample:
-            residual = conv(out_feats, 1, self.stride, pad=0,
-                            dtype=self.dtype, name="down_conv")(x)
+            residual = quant_conv(self, x, out_feats, 1, self.stride, pad=0,
+                                  dtype=self.dtype, name="down_conv",
+                                  quant=self.quant)
             residual = FoldedBN(out_feats, dtype=self.dtype, name="down_bn")(residual)
         return nn.relu(out + residual)
 

@@ -1,0 +1,125 @@
+"""Opt-in int8 quantized inference for the conv-heavy network regions.
+
+v5e MXUs run int8 x int8 -> int32 at 2x the bf16 rate (measured 1.97x
+on this chip for the packed b0 conv shape), and int8 activations halve
+conv-input HBM traffic. This module provides the serving-grade W8A8
+path behind ``Config.quantize='int8'``:
+
+* weights: per-output-channel symmetric int8 (scale = max|w| / 127),
+  quantized offline from the float (post-s2d-transform) tree;
+* activations: per-tensor symmetric int8 with STATIC scales calibrated
+  by running the float network in "observe" mode (each conv site sows
+  the amax of its input into the ``quant_stats`` collection) — no
+  per-step reductions on the inference path;
+* zero-padding semantics are preserved exactly: quant(0) == 0, so the
+  padded taps contribute zero like in the float conv.
+
+This is an APPROXIMATION, unlike the s2d/merged-head rewrites
+(models/s2d.py) which are exact. It is off by default; accuracy on
+real licensed weights must be evaluated before production use
+(docs/PERFORMANCE.md). The reference has no quantized path
+(/root/reference runs fp32 torch; capability beyond parity).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class QuantConv(nn.Module):
+    """W8A8 conv: static-scale int8 quantize -> int8 conv -> dequant.
+
+    Drop-in replacement for ``layers.conv`` at a quantized call site:
+    same name ("conv", "conv1", ...), same padding semantics, params
+    {kernel_q int8, wscale (Co,), ascale (), [bias]} written by
+    ``quantize_tree_int8``.
+    """
+    features: int
+    kernel: Any = 3            # int or (kh, kw)
+    stride: Any = 1
+    pad: Optional[int] = None
+    padding: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.kernel if isinstance(self.kernel, tuple) \
+            else (self.kernel, self.kernel)
+        stride = self.stride if isinstance(self.stride, tuple) \
+            else (self.stride, self.stride)
+        padding = self.padding
+        if padding is None:
+            p = kernel[0] // 2 if self.pad is None else self.pad
+            padding = ((p, p), (p, p))
+        kq = self.param("kernel_q", nn.initializers.zeros,
+                        kernel + (x.shape[-1], self.features), jnp.int8)
+        ws = self.param("wscale", nn.initializers.ones,
+                        (self.features,), jnp.float32)
+        asc = self.param("ascale", nn.initializers.ones, (), jnp.float32)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) * asc),
+                      -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, kq, stride, padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = (y.astype(jnp.float32) * (ws / asc)).astype(self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(self.dtype)
+        return y
+
+
+def calibrate_amax(observe_net, params, images, n_runs: int = 1) -> Dict:
+    """Run the float network in observe mode over ``images`` (a list of
+    uint8 batches) and return per-conv-site input amax (elementwise max
+    across batches)."""
+    acc = None
+    for img in images:
+        _, stats = observe_net.apply(params, jnp.asarray(img),
+                                     mutable=["quant_stats"])
+        stats = jax.tree.map(lambda v: np.asarray(v),
+                             stats["quant_stats"])
+        acc = stats if acc is None else jax.tree.map(np.maximum, acc, stats)
+    return acc
+
+
+def quantize_tree_int8(params: Dict, stats: Dict,
+                       margin: float = 1.0) -> Dict:
+    """Float (post-s2d) param tree + observe-run amax stats -> int8 tree.
+
+    Every conv site the observe run touched (key ``amax_<conv_name>``
+    at the owning module's path) has its float ``kernel`` replaced with
+    {kernel_q, wscale, ascale}; bias and folded-BN params are kept
+    (the dequantized output is float, so they apply unchanged).
+    """
+    import copy
+    params = copy.deepcopy(jax.tree.map(np.asarray, params))
+    top = params.get("params", params)
+
+    def walk(ptree: Dict, stree: Dict) -> None:
+        for key, val in stree.items():
+            if key.startswith("amax_"):
+                sub = ptree[key[len("amax_"):]]
+                if "kernel" not in sub:          # already quantized
+                    continue
+                k = np.asarray(sub.pop("kernel"), np.float32)
+                wmax = np.maximum(np.abs(k).reshape(-1, k.shape[-1]).max(0),
+                                  1e-12)
+                ws = (wmax / 127.0).astype(np.float32)
+                sub["kernel_q"] = np.clip(
+                    np.round(k / ws), -127, 127).astype(np.int8)
+                sub["wscale"] = ws
+                amax = float(np.asarray(val[0] if isinstance(val, tuple)
+                                        else val))
+                sub["ascale"] = np.float32(127.0 / max(amax * margin, 1e-12))
+            else:
+                walk(ptree[key], val)
+
+    walk(top, stats)
+    return jax.tree.map(jnp.asarray, params)

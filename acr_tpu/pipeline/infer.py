@@ -177,7 +177,8 @@ class ACRPipeline:
                           s2d_highres=cfg.s2d_highres,
                           s2d_segm=cfg.s2d_segm,
                           s2d_stem=cfg.s2d_stem,
-                          merged_heads=cfg.merged_heads)
+                          merged_heads=cfg.merged_heads,
+                          quantize=cfg.quantize)
         self.params = params if params is not None else load_params(cfg.model_path)
         if (cfg.s2d_highres or cfg.s2d_segm or cfg.s2d_stem
                 or cfg.merged_heads):
@@ -195,6 +196,12 @@ class ACRPipeline:
         tree = self.params.get("params", {})
         if "parser" in tree:
             self.merge_params = tree.pop("parser").get("fusion_fc")
+        if cfg.quantize == "int8":
+            # W8A8 backbone+segm (ops/quant.py): default calibration on
+            # synthetic frames at load; call .calibrate(real_frames)
+            # before serving for production-quality activation scales
+            self._float_params = self.params
+            self.calibrate()
         self.mano_l, faces_l = load_mano_model(cfg.mano_model_path, "left")
         self.mano_r, faces_r = load_mano_model(cfg.mano_model_path, "right")
         self.faces = np.stack([faces_l, faces_r])      # (2, 1538, 3)
@@ -300,3 +307,28 @@ class ACRPipeline:
     def refine(self, poses, betas, cam, offsets) -> Dict[str, jnp.ndarray]:
         return self._jit_refine(jnp.asarray(poses), jnp.asarray(betas),
                                 jnp.asarray(cam), jnp.asarray(offsets))
+
+    def calibrate(self, images=None) -> None:
+        """(Re)quantize the int8 path: calibrate per-conv activation
+        scales on ``images`` (list of uint8 (B,S,S,3) frames) and
+        re-quantize weights from the retained float tree.
+
+        Default calibration uses two synthetic frames (uniform noise +
+        mid-gray) — enough to bound activation ranges structurally;
+        pass a handful of real frames before serving for tighter
+        scales (ops/quant.py).
+        """
+        assert self.cfg.quantize == "int8", "calibrate() needs quantize=int8"
+        from acr_tpu.models.acr import ACRNet
+        from acr_tpu.ops.quant import calibrate_amax, quantize_tree_int8
+        if images is None:
+            r = np.random.RandomState(0)
+            s = self.cfg.input_size
+            images = [r.randint(0, 255, (1, s, s, 3)).astype(np.uint8),
+                      np.full((1, s, s, 3), 127, np.uint8)]
+        observe = ACRNet(**{**{f.name: getattr(self.net, f.name)
+                               for f in self.net.__dataclass_fields__.values()
+                               if f.name not in ("parent", "name")},
+                            "quantize": "observe"})
+        stats = calibrate_amax(observe, self._float_params, images)
+        self.params = quantize_tree_int8(self._float_params, stats)

@@ -29,12 +29,13 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
-def _measure(precision: str, batch: int, iters: int):
+def _measure(precision: str, batch: int, iters: int,
+             quantize: str = "none"):
     import jax
     import numpy as np
     import __graft_entry__ as ge
 
-    fn, cfg = ge._build(512, precision=precision)
+    fn, cfg = ge._build(512, precision=precision, quantize=quantize)
     image = np.random.RandomState(0).randint(
         0, 255, (batch, 512, 512, 3)).astype(np.uint8)
     # flattened (B,S,S*3) upload: compact uint8 lane tiling on TPU
@@ -97,13 +98,16 @@ def main():
     # env overrides measure a single config (see docs/PERFORMANCE.md)
     precision = os.environ.get("ACR_BENCH_PRECISION")
     batch = os.environ.get("ACR_BENCH_BATCH")
-    if precision or batch:
+    quantize = os.environ.get("ACR_BENCH_QUANT", "none")
+    if precision or batch or quantize != "none":
         precision = precision or "bf16"
         batch = int(batch or 8)
-        r = _measure(precision, batch, iters)
+        r = _measure(precision, batch, iters, quantize=quantize)
         extra = {"readback_ms": r["readback_ms"],
                  "fps_uncorrected": r["fps_uncorrected"]}
         metric = f"two_hand_512px_inference_fps_b{batch}_{precision}"
+        if quantize != "none":
+            metric += f"_{quantize}"
         fps = r["fps"]
     else:
         hot = _measure("bf16", 8, iters)

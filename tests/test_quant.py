@@ -1,0 +1,105 @@
+"""Opt-in int8 (W8A8) quantized inference: machinery + error bounds.
+
+The int8 path (acr_tpu/ops/quant.py) is an APPROXIMATION, unlike the
+s2d rewrites — these tests pin the quantization machinery (weight
+round-trip, calibration plumbing, param-tree structure) and bound the
+end-to-end deviation from the float network on synthetic weights.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from acr_tpu.models.acr import ACRNet
+from acr_tpu.ops.quant import QuantConv, calibrate_amax, quantize_tree_int8
+
+MANO_DIR = os.path.join(os.path.dirname(__file__), "..", "model_data", "mano")
+
+
+def _damped_params(net, img, key=0):
+    params = net.init(jax.random.PRNGKey(key), jnp.asarray(img))
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: x * 0.2 if getattr(p[-1], "key", None) == "scale" else x,
+        params)
+
+
+def test_quantconv_error_bound(rng):
+    """QuantConv ~= float conv within the symmetric-quant error bound."""
+    from acr_tpu.models.layers import conv
+    x = jnp.asarray(rng.randn(2, 16, 16, 32).astype(np.float32))
+    fconv = conv(24, 3)
+    fp = fconv.init(jax.random.PRNGKey(1), x)
+    ref = np.asarray(fconv.apply(fp, x))
+
+    k = np.asarray(fp["params"]["kernel"], np.float32)
+    wmax = np.maximum(np.abs(k).reshape(-1, k.shape[-1]).max(0), 1e-12)
+    ws = (wmax / 127.0).astype(np.float32)
+    amax = float(np.abs(np.asarray(x)).max())
+    qp = {"params": {
+        "kernel_q": np.clip(np.round(k / ws), -127, 127).astype(np.int8),
+        "wscale": ws, "ascale": np.float32(127.0 / amax)}}
+    got = np.asarray(QuantConv(24, kernel=3).apply(qp, x))
+    rel = np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert rel < 0.02, rel
+
+
+def test_quantize_tree_structure(rng):
+    img = (rng.rand(1, 64, 64, 3) * 255).astype(np.uint8)
+    net = ACRNet()
+    params = _damped_params(net, img)
+    stats = calibrate_amax(ACRNet(quantize="observe"), params, [img])
+    q = quantize_tree_int8(params, stats)
+    stem = q["params"]["backbone"]["stem1"]["conv"]
+    assert "kernel" not in stem
+    assert stem["kernel_q"].dtype == jnp.int8
+    assert stem["wscale"].shape == (64,)
+    assert stem["ascale"].shape == ()
+    # heads stay float
+    assert "kernel" in q["params"]["l_params_head"]["out"]
+    # folded-BN params untouched
+    np.testing.assert_array_equal(
+        np.asarray(q["params"]["backbone"]["stem1"]["bn"]["scale"]),
+        np.asarray(params["params"]["backbone"]["stem1"]["bn"]["scale"]))
+
+
+def test_acrnet_int8_close_to_float(rng):
+    """End-to-end int8 net tracks the float net on every output map."""
+    img = (rng.rand(1, 64, 64, 3) * 255).astype(np.uint8)
+    net = ACRNet()
+    params = _damped_params(net, img)
+    ref = net.apply(params, jnp.asarray(img))
+    stats = calibrate_amax(ACRNet(quantize="observe"), params, [img])
+    out = ACRNet(quantize="int8").apply(quantize_tree_int8(params, stats),
+                                        jnp.asarray(img))
+    for k in ref:
+        a = np.asarray(ref[k], np.float32).ravel()
+        b = np.asarray(out[k], np.float32).ravel()
+        rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
+        corr = np.corrcoef(a, b)[0, 1]
+        assert rel < 0.05 and corr > 0.995, (k, rel, corr)
+
+
+def test_pipeline_int8_calibrate(rng):
+    """ACRPipeline(quantize='int8'): load-time calibration + recalibrate
+    on user frames; the full jitted chain runs and stays finite."""
+    from acr_tpu.config import Config
+    from acr_tpu.pipeline.infer import ACRPipeline
+    from acr_tpu.pipeline.preprocess import img_preprocess
+
+    cfg = Config(input_size=128, mano_model_path=MANO_DIR, quantize="int8")
+    img = (rng.rand(1, 64, 64, 3) * 255).astype(np.uint8)
+    params = _damped_params(ACRNet(), img)
+    pipe = ACRPipeline(cfg, params=params)
+    qconv = pipe.params["params"]["backbone"]["stem1"]["conv"]
+    assert qconv["kernel_q"].dtype == jnp.int8
+
+    bgr = (rng.rand(200, 300, 3) * 255).astype(np.uint8)
+    meta = img_preprocess(bgr, "frame.jpg", input_size=128)
+    # recalibrate on the actual frame, as production serving would
+    pipe.calibrate([meta["image"]])
+    out = pipe(meta["image"], meta["offsets"])
+    for key in ("verts", "j3d", "cam_trans", "poses", "betas"):
+        assert np.isfinite(np.asarray(out[key])).all(), key
