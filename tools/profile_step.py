@@ -34,7 +34,8 @@ def capture(precision: str, batch: int, iters: int, trace_dir: str) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     ge._ensure_assets()
-    fn, cfg = ge._build(512, precision=precision)
+    fn, cfg = ge._build(512, precision=precision,
+                        quantize=os.environ.get("ACR_BENCH_QUANT", "none"))
     image = np.random.RandomState(0).randint(
         0, 255, (batch, 512, 512, 3)).astype(np.uint8)
     offsets = np.tile(np.array(
