@@ -63,6 +63,91 @@ class ACRApp:
         self.timer = StageTimer()
         self._frame_idx = 0
 
+        # fused streaming step: forward + OneEuro + refine + render as
+        # ONE jitted dispatch. The unfused path pays one relay dispatch
+        # per stage (4-5/frame, ~300 ms/frame measured through this
+        # terminal's relay); fused is one dispatch + the single
+        # readback. Filter state is donated and carried device-side.
+        import jax.numpy as jnp
+        from acr_tpu.pipeline.infer import _mano_projection_tail, forward_fn
+        pl = self.pipeline
+        do_temporal = cfg.temporal_optimization
+        do_render = self.visualizer is not None and cfg.renderer == "tpu"
+
+        self._stream_spec = None
+
+        def _stream_step(params, ml, mr, state, image, offsets):
+            out = forward_fn(pl.net, params, ml, mr, image, offsets, cfg,
+                             merge_params=pl.merge_params)
+            if do_temporal:
+                state, poses, betas = smooth_two_hands(
+                    state, out["poses"][0], out["betas"][0],
+                    out["detection_flag"][0], cfg.smooth_coeff)
+                out["poses"], out["betas"] = poses[None], betas[None]
+                out.update(_mano_projection_tail(
+                    ml, mr, out["poses"], out["betas"], out["cam"],
+                    offsets, cfg))
+            if do_render:
+                out["_rgba"] = self.visualizer.render_rgba_device(out)
+            # pack EVERYTHING into one flat f32 buffer: through a
+            # relayed transport each fetched array pays its own round
+            # trip (~15 arrays measured 250-480 ms/frame; one packed
+            # array + the device-side concat is ~one round trip), and
+            # readback BANDWIDTH is the next wall (~20 MB/s measured),
+            # so the rgba render ships as uint8 bytes bitcast into the
+            # f32 stream (4.2 MB -> 1.05 MB; display precision). The
+            # spec is recorded at trace time for the host-side unpack.
+            parts, spec = [], []
+            for k in sorted(out):
+                v = out[k]
+                if k == "_rgba":
+                    v8 = jnp.clip(jnp.round(v * 255.0), 0, 255
+                                  ).astype(jnp.uint8).reshape(-1, 4)
+                    spec.append((k, v.shape, "u8x255"))
+                    parts.append(jax.lax.bitcast_convert_type(
+                        v8, jnp.float32))
+                    continue
+                spec.append((k, v.shape, v.dtype))
+                parts.append(v.astype(jnp.float32).reshape(-1))
+            self._stream_spec = spec
+            return state, jnp.concatenate(parts)
+
+        # NOTE: the filter state is NOT donated — its freshly-initialized
+        # pytree aliases the same zero buffer across leaves, and XLA
+        # rejects donating one buffer twice
+        self._jit_stream_step = jax.jit(_stream_step,
+                                        donate_argnums=(4, 5))
+
+    def stream_step(self, meta: Dict):
+        """One fused device dispatch for the streaming loop (no sync).
+
+        Returns the PACKED device array; unpack after the readback with
+        :meth:`unpack_stream`.
+        """
+        image = np.asarray(meta["image"])
+        image = image.reshape(image.shape[0], image.shape[1], -1)
+        self.filter_state, packed = self._jit_stream_step(
+            self.pipeline.params, self.pipeline.mano_l,
+            self.pipeline.mano_r, self.filter_state,
+            image, np.asarray(meta["offsets"]))
+        return packed
+
+    def unpack_stream(self, packed) -> Dict:
+        """Host-side unpack of the stream step's single packed buffer."""
+        arr = np.asarray(packed)                   # the one readback
+        out, off = {}, 0
+        for k, shape, dtype in self._stream_spec:
+            n = int(np.prod(shape))
+            if dtype == "u8x255":                  # bitcast uint8 image
+                n4 = n // 4
+                raw = arr[off:off + n4].view(np.uint8)
+                out[k] = raw.reshape(shape).astype(np.float32) / 255.0
+                off += n4
+                continue
+            out[k] = arr[off:off + n].reshape(shape).astype(dtype)
+            off += n
+        return out
+
     # ------------------------------------------------------------------
     def process_frame(self, bgr_frame: np.ndarray, path: str
                       ) -> Dict[str, list]:

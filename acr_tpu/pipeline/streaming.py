@@ -78,17 +78,10 @@ class StreamingLoop:
                 break
             t0 = time.perf_counter()
             meta = img_preprocess(frame, str(count), input_size=cfg.input_size)
-            # async dispatch: returns immediately, device crunches
-            out = app.pipeline(meta["image"], meta["offsets"])
-            if cfg.temporal_optimization:
-                app.filter_state, poses, betas = app._smooth(
-                    app.filter_state, out["poses"][0], out["betas"][0],
-                    out["detection_flag"][0])
-                out["poses"], out["betas"] = poses[None], betas[None]
-                out.update(app.pipeline.refine(
-                    out["poses"], out["betas"], out["cam"], meta["offsets"]))
-            if app.visualizer is not None and cfg.renderer == "tpu":
-                out["_rgba"] = app.visualizer.render_rgba_device(out)
+            # ONE fused async dispatch (forward + OneEuro + refine +
+            # render, app._jit_stream_step): the unfused per-stage
+            # dispatches cost 4-5 relay round trips per frame
+            out = app.stream_step(meta)
 
             if inflight is not None:
                 self._finish(*inflight)
@@ -99,9 +92,8 @@ class StreamingLoop:
         return count
 
     def _finish(self, t0, frame, meta, out):
-        """Single batched readback, then host render/deliver + latency."""
-        import jax
-        out = jax.device_get(out)          # one round trip for everything
+        """Single packed readback, then host render/deliver + latency."""
+        out = self.app.unpack_stream(out)  # ONE array = one round trip
         detected = np.asarray(out["detection_flag"])
         rendered = frame
         if detected.any() and self.app.visualizer is not None:
