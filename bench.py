@@ -120,6 +120,13 @@ def main():
             "bf16_b8_fps_uncorrected": hot["fps_uncorrected"],
             "readback_ms": hot["readback_ms"],
         }
+        try:
+            # opt-in approximate int8 serving path at its b16 sweet
+            # spot (docs/PERFORMANCE.md); headline stays the exact path
+            q = _measure("bf16", 16, iters, quantize="int8")
+            extra["int8_b16_fps"] = q["fps"]
+        except Exception as e:            # backend without int8 convs
+            extra["int8_b16_fps"] = f"skipped: {type(e).__name__}"
 
     print(json.dumps({
         "metric": metric,

@@ -62,6 +62,26 @@ def test_streaming_loop_max_frames(app):
     assert n == 2
 
 
+def test_stream_pack_roundtrip(app):
+    """The packed single-buffer readback reproduces every output (the
+    uint8-bitcast rgba to display precision)."""
+    from acr_tpu.pipeline.streaming import SyntheticSource
+    frame = SyntheticSource(1).read()
+    from acr_tpu.pipeline.preprocess import img_preprocess
+    meta = img_preprocess(frame, "f", input_size=app.cfg.input_size)
+    packed = app.stream_step(meta)
+    out = app.unpack_stream(packed)
+    assert out["verts"].shape == (1, 2, 778, 3)
+    assert out["detection_flag"].dtype == bool
+    rgba = out["_rgba"]
+    assert rgba.shape[-1] == 4 and rgba.dtype == np.float32
+    assert 0.0 <= rgba.min() and rgba.max() <= 1.0
+    # the packed floats carry the exact values (rgba to 1/255)
+    ref = app.pipeline(meta["image"], meta["offsets"])
+    np.testing.assert_allclose(np.asarray(ref["cam"]),
+                               out["cam"], rtol=1e-6, atol=1e-6)
+
+
 def test_temporal_state_advances(app):
     # betas filter must be initialized after a run with detections
     loop = StreamingLoop(app, max_frames=3)
