@@ -63,14 +63,17 @@ class HeadStack(nn.Module):
     dtype: Any = jnp.float32
     pre_transitioned: bool = False   # input already went through the
                                      # merged transition conv (ACRNet)
+    quant: str = "none"              # int8 trans/blocks; the 1x1 OUT
+                                     # conv (the regressor) stays float
 
     @nn.compact
     def __call__(self, x):
         if not self.pre_transitioned:
             x = ConvBN(self.width, kernel=3, stride=2, use_bias=True,
-                       dtype=self.dtype, name="trans")(x)
+                       dtype=self.dtype, quant=self.quant, name="trans")(x)
         for k in range(self.num_blocks):
-            x = BasicBlock(self.width, dtype=self.dtype, name=f"blk{k}")(x)
+            x = BasicBlock(self.width, dtype=self.dtype, quant=self.quant,
+                           name=f"blk{k}")(x)
         return conv(self.out_ch, 1, pad=0, use_bias=True, dtype=self.dtype,
                     name="out")(x)
 
@@ -138,11 +141,15 @@ class ACRNet(nn.Module):
                                  # all 8 head stacks (64ch each = half
                                  # lane occupancy); exact via load-time
                                  # weight concat (s2d.transform)
-    quantize: str = "none"       # 'int8': W8A8 backbone+segm convs
-                                 # (2x MXU on v5e; APPROXIMATE — see
-                                 # ops/quant.py); 'observe': float run
-                                 # that sows per-conv input amax for
-                                 # calibration. Heads/parser stay float.
+    quantize: str = "none"       # 'int8': W8A8 convs in the backbone,
+                                 # segm head, head trans/blocks and the
+                                 # part-module feature convs (2x MXU on
+                                 # v5e; APPROXIMATE — ops/quant.py);
+                                 # 'observe': float run sowing per-conv
+                                 # input amax for calibration. The
+                                 # regressors (per-head 1x1 out convs,
+                                 # fuse convs, LocallyConnected/Dense)
+                                 # and the parser/MANO tail stay float.
 
     @nn.compact
     def __call__(self, image_uint8: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -181,7 +188,7 @@ class ACRNet(nn.Module):
             # (+0.32 ms) than the merged out conv saved (-0.23 ms).
             head_names = [f"{s}_{k}" for s in ("l", "r") for k in kinds]
             t = ConvBN(64 * len(head_names), kernel=3, stride=2,
-                       use_bias=True, dtype=self.dtype,
+                       use_bias=True, dtype=self.dtype, quant=self.quantize,
                        name="heads_trans")(x)
             pre = {nm: t[..., i * 64:(i + 1) * 64]
                    for i, nm in enumerate(head_names)}
@@ -191,9 +198,11 @@ class ACRNet(nn.Module):
             if pre is not None:
                 return HeadStack(out_ch, num_blocks=self.head_block_num,
                                  pre_transitioned=True, dtype=self.dtype,
+                                 quant=self.quantize,
                                  name=f"{nm}_head")(pre[nm])
             return HeadStack(out_ch, num_blocks=self.head_block_num,
-                             dtype=self.dtype, name=f"{nm}_head")(x)
+                             dtype=self.dtype, quant=self.quantize,
+                             name=f"{nm}_head")(x)
 
         def global_maps(side: str):
             params = head_stack(side, "params", self.params_ch)
@@ -214,10 +223,14 @@ class ACRNet(nn.Module):
         # 256->128 nearest downsample, drop background channel
         part_att = att_src[..., 1:]                                  # (B,128,128,32)
 
+        from acr_tpu.models.layers import quant_conv
         contact_feats = ConvBN(256, kernel=3, use_bias=True, dtype=self.dtype,
+                               quant=self.quantize,
                                name="contact_conv")(x)               # (B,128,128,256)
-        shape_feats = conv(64, 1, pad=0, use_bias=True, dtype=self.dtype,
-                           name="cam_shape_conv")(contact_feats)     # (B,128,128,64)
+        shape_feats = quant_conv(self, contact_feats, 64, 1, pad=0,
+                                 use_bias=True, dtype=self.dtype,
+                                 name="cam_shape_conv",
+                                 quant=self.quantize)                # (B,128,128,64)
 
         pooled_contact = hadamard_pool(contact_feats, part_att)      # (B,32,256)
         pooled_shape = hadamard_pool(shape_feats, part_att)          # (B,32,64)
