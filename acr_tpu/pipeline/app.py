@@ -45,6 +45,49 @@ from acr_tpu.utils.meters import StageTimer
 log = logging.getLogger("acr_tpu")
 
 
+def pack_outputs(out: Dict, spec_sink: list):
+    """(traced) concat every output into ONE flat f32 buffer.
+
+    Through a relayed transport each fetched array pays its own round
+    trip (~15 arrays measured 250-480 ms/frame) and readback BANDWIDTH
+    is the next wall (~20 MB/s measured), so `_rgba` images ship as
+    uint8 bytes bitcast into the f32 stream (4 bytes/px instead of 16;
+    display precision). The unpack spec is recorded at trace time into
+    ``spec_sink`` (cleared first) for :func:`unpack_outputs`.
+    """
+    import jax.numpy as jnp
+    parts = []
+    spec_sink.clear()
+    for k in sorted(out):
+        v = out[k]
+        if k == "_rgba":
+            v8 = jnp.clip(jnp.round(v * 255.0), 0, 255
+                          ).astype(jnp.uint8).reshape(-1, 4)
+            spec_sink.append((k, v.shape, "u8x255"))
+            parts.append(jax.lax.bitcast_convert_type(v8, jnp.float32))
+            continue
+        spec_sink.append((k, v.shape, v.dtype))
+        parts.append(v.astype(jnp.float32).reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def unpack_outputs(packed, spec) -> Dict:
+    """Host-side unpack of :func:`pack_outputs`' single buffer."""
+    arr = np.asarray(packed)                   # the one readback
+    out, off = {}, 0
+    for k, shape, dtype in spec:
+        n = int(np.prod(shape))
+        if dtype == "u8x255":                  # bitcast uint8 image
+            n4 = n // 4
+            raw = arr[off:off + n4].view(np.uint8)
+            out[k] = raw.reshape(shape).astype(np.float32) / 255.0
+            off += n4
+            continue
+        out[k] = arr[off:off + n].reshape(shape).astype(dtype)
+        off += n
+    return out
+
+
 class ACRApp:
     """Owns the pipeline, visualizer, temporal state, and output dirs."""
 
@@ -74,7 +117,8 @@ class ACRApp:
         do_temporal = cfg.temporal_optimization
         do_render = self.visualizer is not None and cfg.renderer == "tpu"
 
-        self._stream_spec = None
+        self._stream_spec = []
+        self._chunk_spec = []
 
         def _stream_step(params, ml, mr, state, image, offsets):
             out = forward_fn(pl.net, params, ml, mr, image, offsets, cfg,
@@ -89,34 +133,43 @@ class ACRApp:
                     offsets, cfg))
             if do_render:
                 out["_rgba"] = self.visualizer.render_rgba_device(out)
-            # pack EVERYTHING into one flat f32 buffer: through a
-            # relayed transport each fetched array pays its own round
-            # trip (~15 arrays measured 250-480 ms/frame; one packed
-            # array + the device-side concat is ~one round trip), and
-            # readback BANDWIDTH is the next wall (~20 MB/s measured),
-            # so the rgba render ships as uint8 bytes bitcast into the
-            # f32 stream (4.2 MB -> 1.05 MB; display precision). The
-            # spec is recorded at trace time for the host-side unpack.
-            parts, spec = [], []
-            for k in sorted(out):
-                v = out[k]
-                if k == "_rgba":
-                    v8 = jnp.clip(jnp.round(v * 255.0), 0, 255
-                                  ).astype(jnp.uint8).reshape(-1, 4)
-                    spec.append((k, v.shape, "u8x255"))
-                    parts.append(jax.lax.bitcast_convert_type(
-                        v8, jnp.float32))
-                    continue
-                spec.append((k, v.shape, v.dtype))
-                parts.append(v.astype(jnp.float32).reshape(-1))
-            self._stream_spec = spec
-            return state, jnp.concatenate(parts)
+            return state, pack_outputs(out, self._stream_spec)
 
         # NOTE: the filter state is NOT donated — its freshly-initialized
         # pytree aliases the same zero buffer across leaves, and XLA
         # rejects donating one buffer twice
         self._jit_stream_step = jax.jit(_stream_step,
                                         donate_argnums=(4, 5))
+
+        def _chunk_step(params, ml, mr, state, image, offsets):
+            """Throughput twin of _stream_step: a whole frame chunk,
+            scan-based OneEuro, per-frame on-device render via lax.map
+            (map keeps the binned-raster overflow lax.cond per frame —
+            a vmap would select-execute BOTH raster kernels), and one
+            packed buffer out."""
+            out = forward_fn(pl.net, params, ml, mr, image, offsets, cfg,
+                             merge_params=pl.merge_params)
+            if do_temporal:
+                state, poses, betas = smooth_sequence(
+                    state, out["poses"], out["betas"],
+                    out["detection_flag"], cfg.smooth_coeff)
+                out["poses"], out["betas"] = poses, betas
+                out.update(_mano_projection_tail(
+                    ml, mr, poses, betas, out["cam"], offsets, cfg))
+            if do_render:
+                from acr_tpu.viz.raster import render_hands
+                out["_rgba"] = jax.lax.map(
+                    lambda vcd: render_hands(
+                        vcd[0], vcd[1], vcd[2], self.pipeline.faces,
+                        size=cfg.render_size,
+                        focal=float(cfg.focal_length),
+                        camera=self.visualizer.camera,
+                        fov_deg=float(cfg.FOV)),
+                    (out["verts"], out["cam_trans"],
+                     out["detection_flag"]))
+            return state, pack_outputs(out, self._chunk_spec)
+
+        self._jit_chunk_step = jax.jit(_chunk_step, donate_argnums=(4, 5))
 
     def stream_step(self, meta: Dict):
         """One fused device dispatch for the streaming loop (no sync).
@@ -134,19 +187,7 @@ class ACRApp:
 
     def unpack_stream(self, packed) -> Dict:
         """Host-side unpack of the stream step's single packed buffer."""
-        arr = np.asarray(packed)                   # the one readback
-        out, off = {}, 0
-        for k, shape, dtype in self._stream_spec:
-            n = int(np.prod(shape))
-            if dtype == "u8x255":                  # bitcast uint8 image
-                n4 = n // 4
-                raw = arr[off:off + n4].view(np.uint8)
-                out[k] = raw.reshape(shape).astype(np.float32) / 255.0
-                off += n4
-                continue
-            out[k] = arr[off:off + n].reshape(shape).astype(dtype)
-            off += n
-        return out
+        return unpack_outputs(packed, self._stream_spec)
 
     # ------------------------------------------------------------------
     def process_frame(self, bgr_frame: np.ndarray, path: str
@@ -373,8 +414,14 @@ class ACRApp:
         """
         import cv2
         bs = self.cfg.val_batch_size
+        # fused chunk step (forward + scan-OneEuro + refine + on-device
+        # render + ONE packed readback) covers the common configs; the
+        # legacy per-stage path remains for the host/native renderer
+        # and the host translation solve
+        fused = (self.cfg.jit_translation_solve
+                 and (self.visualizer is None or self.cfg.renderer == "tpu"))
         seq = None
-        if self.cfg.temporal_optimization:
+        if not fused and self.cfg.temporal_optimization:
             seq = jax.jit(lambda st, p, b, d: smooth_sequence(
                 st, p, b, d, self.cfg.smooth_coeff))
 
@@ -402,17 +449,27 @@ class ACRApp:
                 off_c = np.concatenate(
                     [off_c, np.repeat(off_c[-1:], pad, axis=0)])
             with self.timer.stage("device_step"):
-                o = self.pipeline(img_c, off_c)
-                if seq is not None:
-                    self.filter_state, poses, betas = seq(
-                        self.filter_state, o["poses"], o["betas"],
-                        o["detection_flag"])
-                    o["poses"], o["betas"] = poses, betas
-                    o.update(self.pipeline.refine(poses, betas,
-                                                  o["cam"], off_c))
-                o = jax.device_get(o)
+                if fused:
+                    img_c = img_c.reshape(img_c.shape[0],
+                                          img_c.shape[1], -1)
+                    self.filter_state, packed = self._jit_chunk_step(
+                        self.pipeline.params, self.pipeline.mano_l,
+                        self.pipeline.mano_r, self.filter_state,
+                        img_c, off_c)
+                    o = unpack_outputs(packed, self._chunk_spec)
+                else:
+                    o = self.pipeline(img_c, off_c)
+                    if seq is not None:
+                        self.filter_state, poses, betas = seq(
+                            self.filter_state, o["poses"], o["betas"],
+                            o["detection_flag"])
+                        o["poses"], o["betas"] = poses, betas
+                        o.update(self.pipeline.refine(poses, betas,
+                                                      o["cam"], off_c))
+                    o = jax.device_get(o)
             keep = bs - pad
             chunk = jax.tree.map(lambda v: np.asarray(v)[:keep], o)
+            rgba = chunk.pop("_rgba", None)
 
             if not self.cfg.jit_translation_solve:
                 self._host_translation(chunk)
@@ -424,10 +481,15 @@ class ACRApp:
                     self._emit_frame(frame, path)
                     continue
                 if self.visualizer is not None:
-                    one = {key: v[k:k + 1] for key, v in chunk.items()}
                     with self.timer.stage("render"):
-                        rendered = self.visualizer.render_on_frame(
-                            frame, one, meta)
+                        if rgba is not None:       # device-rendered
+                            rendered = self.visualizer.compose_on_frame(
+                                rgba[k], frame, meta)
+                        else:
+                            one = {key: v[k:k + 1]
+                                   for key, v in chunk.items()}
+                            rendered = self.visualizer.render_on_frame(
+                                frame, one, meta)
                     self._emit_frame(rendered, path)
                 else:
                     self._emit_frame(frame, path)
