@@ -181,14 +181,18 @@ def _transform_segm_tree(seg: Dict) -> None:
                 _tile4(np.asarray(seg["out_conv2"]["bias"])), 256)
 
 
-def _merge_head_transitions(top: Dict) -> None:
-    """Concatenate the 8 head stacks' transition convs into one dense
-    512-channel `heads_trans` ConvBN (exact; order matches ACRNet's
-    head_names slicing: l then r, kinds params/center/cam/prior).
-    Idempotent; no-op if the tree lacks the per-head trans convs."""
+def _merge_head_transitions(top: Dict, inter_prior: bool = True) -> None:
+    """Concatenate the head stacks' transition convs into one dense
+    `heads_trans` ConvBN (exact; order matches ACRNet's head_names
+    slicing: l then r, kinds params/center/cam[/prior]). The kinds MUST
+    match what ACRNet builds — with ``inter_prior=False`` the prior
+    heads exist in the checkpoint but the net doesn't instantiate them,
+    so merging them would produce a 512-wide kernel against the net's
+    384-wide conv. Idempotent; no-op if the tree lacks trans convs."""
+    kinds = ("params", "center", "cam") + (("prior",) if inter_prior else ())
     names = []
     for side in ("l", "r"):
-        for kind in ("params", "center", "cam", "prior"):
+        for kind in kinds:
             nm = f"{side}_{kind}_head"
             if nm in top and "trans" in top[nm]:
                 names.append(nm)
@@ -215,7 +219,8 @@ def _merge_head_transitions(top: Dict) -> None:
 
 def transform_params_s2d(params: Dict, highres: bool = True,
                          segm: bool = False, stem: bool = False,
-                         merged_heads: bool = False) -> Dict:
+                         merged_heads: bool = False,
+                         inter_prior: bool = True) -> Dict:
     """Rewrite a canonical param tree for the s2d network (idempotent).
 
     ``highres`` touches `backbone/stage*_*`: the b0_* BasicBlock
@@ -234,7 +239,7 @@ def transform_params_s2d(params: Dict, highres: bool = True,
     if segm and "segm" in top:
         _transform_segm_tree(top["segm"])
     if merged_heads:
-        _merge_head_transitions(top)
+        _merge_head_transitions(top, inter_prior=inter_prior)
     bb = top.get("backbone", top)
     if stem and "stem1" in bb:
         k = np.asarray(bb["stem1"]["conv"]["kernel"])

@@ -75,18 +75,56 @@ class QuantConv(nn.Module):
         return y
 
 
-def calibrate_amax(observe_net, params, images, n_runs: int = 1) -> Dict:
+def calibrate_amax(observe_net, params, images) -> Dict:
     """Run the float network in observe mode over ``images`` (a list of
     uint8 batches) and return per-conv-site input amax (elementwise max
-    across batches)."""
+    across batches). The observe apply is jitted — an eager apply
+    dispatches every op of the 512px network as its own tiny program
+    (hundreds of round trips at pipeline-load time on a relayed host).
+    """
+    run = jax.jit(lambda p, img: observe_net.apply(
+        p, img, mutable=["quant_stats"]))
     acc = None
     for img in images:
-        _, stats = observe_net.apply(params, jnp.asarray(img),
-                                     mutable=["quant_stats"])
+        _, stats = run(params, jnp.asarray(img))
         stats = jax.tree.map(lambda v: np.asarray(v),
                              stats["quant_stats"])
         acc = stats if acc is None else jax.tree.map(np.maximum, acc, stats)
     return acc
+
+
+def observe_clone(net):
+    """The same ACRNet with quantize='observe' (float convs + amax sow)."""
+    from acr_tpu.models.acr import ACRNet
+    fields = {f.name: getattr(net, f.name)
+              for f in net.__dataclass_fields__.values()
+              if f.name not in ("parent", "name")}
+    fields["quantize"] = "observe"
+    return ACRNet(**fields)
+
+
+def default_calibration_frames(input_size: int):
+    """Synthetic load-time calibration set: uniform noise (near-extreme
+    activations through the normalize) + mid-gray. Enough to bound
+    ranges structurally; pass real frames for production scales."""
+    r = np.random.RandomState(0)
+    return [r.randint(0, 255, (1, input_size, input_size, 3)
+                      ).astype(np.uint8),
+            np.full((1, input_size, input_size, 3), 127, np.uint8)]
+
+
+def quantize_for_net(net, params: Dict, images=None,
+                     input_size: int = 512) -> Dict:
+    """One-call W8A8 quantization for an ACRNet: build the observe
+    clone, calibrate activation scales over ``images`` (default:
+    ``default_calibration_frames``), quantize weights. The single
+    entry point shared by ACRPipeline.calibrate and the bench/profile
+    builders, so the calibration recipe cannot diverge between the
+    serving and benchmarking paths."""
+    if images is None:
+        images = default_calibration_frames(input_size)
+    stats = calibrate_amax(observe_clone(net), params, images)
+    return quantize_tree_int8(params, stats)
 
 
 def quantize_tree_int8(params: Dict, stats: Dict,

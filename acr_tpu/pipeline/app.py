@@ -137,7 +137,14 @@ class ACRApp:
 
         # NOTE: the filter state is NOT donated — its freshly-initialized
         # pytree aliases the same zero buffer across leaves, and XLA
-        # rejects donating one buffer twice
+        # rejects donating one buffer twice. Under data_parallel > 1
+        # the fused steps are DISABLED (None): they would bypass the
+        # pipeline's mesh sharding/padding and run single-device — the
+        # legacy per-stage paths keep DP correct.
+        self._jit_stream_step = None
+        self._jit_chunk_step = None
+        if pl.mesh is not None:
+            return
         self._jit_stream_step = jax.jit(_stream_step,
                                         donate_argnums=(4, 5))
 
@@ -418,7 +425,8 @@ class ACRApp:
         # render + ONE packed readback) covers the common configs; the
         # legacy per-stage path remains for the host/native renderer
         # and the host translation solve
-        fused = (self.cfg.jit_translation_solve
+        fused = (self._jit_chunk_step is not None
+                 and self.cfg.jit_translation_solve
                  and (self.visualizer is None or self.cfg.renderer == "tpu"))
         seq = None
         if not fused and self.cfg.temporal_optimization:

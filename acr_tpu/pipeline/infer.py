@@ -189,7 +189,8 @@ class ACRPipeline:
             from acr_tpu.models.s2d import transform_params_s2d
             self.params = transform_params_s2d(
                 self.params, highres=cfg.s2d_highres, segm=cfg.s2d_segm,
-                stem=cfg.s2d_stem, merged_heads=cfg.merged_heads)
+                stem=cfg.s2d_stem, merged_heads=cfg.merged_heads,
+                inter_prior=cfg.inter_prior)
         # merge-mode cross-hand fusion head (converted from the reference's
         # ResultParser.fusion_fc_end) is carried outside the network tree
         self.merge_params = None
@@ -319,16 +320,7 @@ class ACRPipeline:
         scales (ops/quant.py).
         """
         assert self.cfg.quantize == "int8", "calibrate() needs quantize=int8"
-        from acr_tpu.models.acr import ACRNet
-        from acr_tpu.ops.quant import calibrate_amax, quantize_tree_int8
-        if images is None:
-            r = np.random.RandomState(0)
-            s = self.cfg.input_size
-            images = [r.randint(0, 255, (1, s, s, 3)).astype(np.uint8),
-                      np.full((1, s, s, 3), 127, np.uint8)]
-        observe = ACRNet(**{**{f.name: getattr(self.net, f.name)
-                               for f in self.net.__dataclass_fields__.values()
-                               if f.name not in ("parent", "name")},
-                            "quantize": "observe"})
-        stats = calibrate_amax(observe, self._float_params, images)
-        self.params = quantize_tree_int8(self._float_params, stats)
+        from acr_tpu.ops.quant import quantize_for_net
+        self.params = quantize_for_net(self.net, self._float_params,
+                                       images=images,
+                                       input_size=self.cfg.input_size)

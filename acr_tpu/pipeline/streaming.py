@@ -78,10 +78,25 @@ class StreamingLoop:
                 break
             t0 = time.perf_counter()
             meta = img_preprocess(frame, str(count), input_size=cfg.input_size)
-            # ONE fused async dispatch (forward + OneEuro + refine +
-            # render, app._jit_stream_step): the unfused per-stage
-            # dispatches cost 4-5 relay round trips per frame
-            out = app.stream_step(meta)
+            if app._jit_stream_step is not None:
+                # ONE fused async dispatch (forward + OneEuro + refine
+                # + render, app._jit_stream_step): the unfused
+                # per-stage dispatches cost 4-5 relay round trips/frame
+                out = app.stream_step(meta)
+            else:
+                # legacy per-stage dispatches — the data-parallel path,
+                # where the pipeline handles mesh sharding/padding
+                out = app.pipeline(meta["image"], meta["offsets"])
+                if cfg.temporal_optimization:
+                    app.filter_state, poses, betas = app._smooth(
+                        app.filter_state, out["poses"][0], out["betas"][0],
+                        out["detection_flag"][0])
+                    out["poses"], out["betas"] = poses[None], betas[None]
+                    out.update(app.pipeline.refine(
+                        out["poses"], out["betas"], out["cam"],
+                        meta["offsets"]))
+                if app.visualizer is not None and cfg.renderer == "tpu":
+                    out["_rgba"] = app.visualizer.render_rgba_device(out)
 
             if inflight is not None:
                 self._finish(*inflight)
@@ -93,7 +108,11 @@ class StreamingLoop:
 
     def _finish(self, t0, frame, meta, out):
         """Single packed readback, then host render/deliver + latency."""
-        out = self.app.unpack_stream(out)  # ONE array = one round trip
+        if isinstance(out, dict):          # legacy (data-parallel) path
+            import jax
+            out = jax.device_get(out)
+        else:
+            out = self.app.unpack_stream(out)  # ONE array = one round trip
         detected = np.asarray(out["detection_flag"])
         rendered = frame
         if detected.any() and self.app.visualizer is not None:

@@ -182,6 +182,30 @@ def test_merged_heads_exact(rng):
                                    atol=1e-4, rtol=1e-4, err_msg=k)
 
 
+def test_merged_heads_no_prior_exact(rng):
+    """inter_prior=False + merged_heads: the transform must merge only
+    the 6 heads the net builds (the checkpoint's prior heads stay
+    untouched) — regression for a ScopeParamShapeError."""
+    from acr_tpu.models.acr import ACRNet
+    img = (rng.rand(1, 64, 64, 3) * 255).astype(np.uint8)
+    net = ACRNet(inter_prior=False)
+    params = net.init(jax.random.PRNGKey(5), jnp.asarray(img))
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: x * 0.2 if getattr(p[-1], "key", None) == "scale" else x,
+        params)
+    ref = net.apply(params, jnp.asarray(img))
+    merged = transform_params_s2d(params, highres=False, merged_heads=True,
+                                  inter_prior=False)
+    assert merged["params"]["heads_trans"]["conv"]["kernel"].shape[-1] == 384
+    out = ACRNet(inter_prior=False, merged_heads=True).apply(
+        merged, jnp.asarray(img))
+    for k in ref:
+        if ref[k] is None:
+            continue
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=1e-4, rtol=1e-4, err_msg=k)
+
+
 def test_acrnet_s2d_full_exact(rng):
     """All four exact rewrites together, whole network, all output maps."""
     from acr_tpu.models.acr import ACRNet
