@@ -69,18 +69,21 @@ def quant_conv(parent: nn.Module, x, features: int, kernel=3, stride=1,
     """Conv call site with an optional int8 path (ops/quant.py).
 
     quant='none': the plain float conv. quant='observe': float conv,
-    but first sow the input amax into the ``quant_stats`` collection
-    (calibration pass). quant='int8': the W8A8 QuantConv with params
-    {kernel_q, wscale, ascale} under the same module name.
+    but first sow the input per-channel amax into the ``quant_stats``
+    collection (calibration pass; per-tensor consumers reduce with
+    .max()). quant='int8' / 'int8_pc': the W8A8 QuantConv with params
+    {kernel_q, wscale, ascale} under the same module name ('_pc' =
+    per-input-channel activation scales, ops/quant.py).
     """
     if quant == "observe":
         parent.sow("quant_stats", f"amax_{name}",
-                   jnp.max(jnp.abs(x.astype(jnp.float32))))
-    if quant == "int8":
+                   jnp.max(jnp.abs(x.astype(jnp.float32)),
+                           axis=tuple(range(x.ndim - 1))))
+    if quant.startswith("int8"):
         from acr_tpu.ops.quant import QuantConv
         return QuantConv(features, kernel=kernel, stride=stride, pad=pad,
                          padding=padding, use_bias=use_bias, dtype=dtype,
-                         name=name)(x)
+                         per_channel=quant.endswith("_pc"), name=name)(x)
     return conv(features, kernel, stride, pad=pad, padding=padding,
                 use_bias=use_bias, dtype=dtype, name=name)(x)
 

@@ -7,10 +7,16 @@ path behind ``Config.quantize='int8'``:
 
 * weights: per-output-channel symmetric int8 (scale = max|w| / 127),
   quantized offline from the float (post-s2d-transform) tree;
-* activations: per-tensor symmetric int8 with STATIC scales calibrated
-  by running the float network in "observe" mode (each conv site sows
-  the amax of its input into the ``quant_stats`` collection) — no
-  per-step reductions on the inference path;
+* activations: symmetric int8 with STATIC scales calibrated by running
+  the float network in "observe" mode (each conv site sows the
+  per-input-channel amax of its input into the ``quant_stats``
+  collection) — no per-step reductions on the inference path. Scales
+  are per-tensor by default; ``per_channel=True`` (mode 'int8_pc')
+  uses one scale per input channel, folded EXACTLY into the weights
+  before weight quantization (conv is linear per input channel:
+  sum_c (x_c s_c)(W_c / s_c) == sum_c x_c W_c), so the only extra
+  inference cost is a vector instead of scalar multiply on the
+  activation quantize;
 * zero-padding semantics are preserved exactly: quant(0) == 0, so the
   padded taps contribute zero like in the float conv.
 
@@ -36,8 +42,11 @@ class QuantConv(nn.Module):
 
     Drop-in replacement for ``layers.conv`` at a quantized call site:
     same name ("conv", "conv1", ...), same padding semantics, params
-    {kernel_q int8, wscale (Co,), ascale (), [bias]} written by
-    ``quantize_tree_int8``.
+    {kernel_q int8, wscale (Co,), ascale () or (Ci,), [bias]} written
+    by ``quantize_tree_int8``. With ``per_channel=True`` the activation
+    scales are per input channel and their inverse is already folded
+    into ``kernel_q``/``wscale`` (see module docstring), so dequant is
+    by ``wscale`` alone.
     """
     features: int
     kernel: Any = 3            # int or (kh, kw)
@@ -46,6 +55,7 @@ class QuantConv(nn.Module):
     padding: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
     use_bias: bool = False
     dtype: Any = jnp.float32
+    per_channel: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -61,14 +71,16 @@ class QuantConv(nn.Module):
                         kernel + (x.shape[-1], self.features), jnp.int8)
         ws = self.param("wscale", nn.initializers.ones,
                         (self.features,), jnp.float32)
-        asc = self.param("ascale", nn.initializers.ones, (), jnp.float32)
+        ashape = (x.shape[-1],) if self.per_channel else ()
+        asc = self.param("ascale", nn.initializers.ones, ashape, jnp.float32)
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) * asc),
                       -127, 127).astype(jnp.int8)
         y = jax.lax.conv_general_dilated(
             xq, kq, stride, padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32)
-        y = (y.astype(jnp.float32) * (ws / asc)).astype(self.dtype)
+        deq = ws if self.per_channel else ws / asc
+        y = (y.astype(jnp.float32) * deq).astype(self.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(self.dtype)
@@ -77,8 +89,9 @@ class QuantConv(nn.Module):
 
 def calibrate_amax(observe_net, params, images) -> Dict:
     """Run the float network in observe mode over ``images`` (a list of
-    uint8 batches) and return per-conv-site input amax (elementwise max
-    across batches). The observe apply is jitted — an eager apply
+    uint8 batches) and return per-conv-site PER-INPUT-CHANNEL input
+    amax vectors (elementwise max across batches); per-tensor consumers
+    reduce with .max(). The observe apply is jitted — an eager apply
     dispatches every op of the 512px network as its own tiny program
     (hundreds of round trips at pipeline-load time on a relayed host).
     """
@@ -114,7 +127,8 @@ def default_calibration_frames(input_size: int):
 
 
 def quantize_for_net(net, params: Dict, images=None,
-                     input_size: int = 512) -> Dict:
+                     input_size: int = 512,
+                     per_channel: bool = False) -> Dict:
     """One-call W8A8 quantization for an ACRNet: build the observe
     clone, calibrate activation scales over ``images`` (default:
     ``default_calibration_frames``), quantize weights. The single
@@ -124,17 +138,25 @@ def quantize_for_net(net, params: Dict, images=None,
     if images is None:
         images = default_calibration_frames(input_size)
     stats = calibrate_amax(observe_clone(net), params, images)
-    return quantize_tree_int8(params, stats)
+    return quantize_tree_int8(params, stats, per_channel=per_channel)
 
 
 def quantize_tree_int8(params: Dict, stats: Dict,
-                       margin: float = 1.0) -> Dict:
+                       margin: float = 1.0,
+                       per_channel: bool = False) -> Dict:
     """Float (post-s2d) param tree + observe-run amax stats -> int8 tree.
 
     Every conv site the observe run touched (key ``amax_<conv_name>``
     at the owning module's path) has its float ``kernel`` replaced with
     {kernel_q, wscale, ascale}; bias and folded-BN params are kept
     (the dequantized output is float, so they apply unchanged).
+
+    ``per_channel=True`` writes a (Ci,) activation-scale vector per
+    site and folds its inverse into the kernel BEFORE per-output
+    weight quantization (exact; see module docstring). Channels whose
+    calibrated amax is far below the site's per-tensor amax are floored
+    at 1e-4 of it, bounding the scale disparity so a dead-at-
+    calibration channel cannot blow up on real inputs.
     """
     import copy
     params = copy.deepcopy(jax.tree.map(np.asarray, params))
@@ -147,15 +169,23 @@ def quantize_tree_int8(params: Dict, stats: Dict,
                 if "kernel" not in sub:          # already quantized
                     continue
                 k = np.asarray(sub.pop("kernel"), np.float32)
+                amax_c = np.asarray(val[0] if isinstance(val, tuple)
+                                    else val, np.float32).reshape(-1)
+                amax_t = max(float(amax_c.max()) * margin, 1e-12)
+                if per_channel:
+                    amax_c = np.maximum(amax_c * margin, amax_t * 1e-4)
+                    s_c = (127.0 / amax_c).astype(np.float32)   # (Ci,)
+                    # fold 1/s_c into the kernel over its input axis
+                    k = k / s_c[None, None, :, None]
+                    sub["ascale"] = s_c
+                else:
+                    sub["ascale"] = np.float32(127.0 / amax_t)
                 wmax = np.maximum(np.abs(k).reshape(-1, k.shape[-1]).max(0),
                                   1e-12)
                 ws = (wmax / 127.0).astype(np.float32)
                 sub["kernel_q"] = np.clip(
                     np.round(k / ws), -127, 127).astype(np.int8)
                 sub["wscale"] = ws
-                amax = float(np.asarray(val[0] if isinstance(val, tuple)
-                                        else val))
-                sub["ascale"] = np.float32(127.0 / max(amax * margin, 1e-12))
             else:
                 walk(ptree[key], val)
 

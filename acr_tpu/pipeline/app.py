@@ -110,12 +110,18 @@ class ACRApp:
         # ONE jitted dispatch. The unfused path pays one relay dispatch
         # per stage (4-5/frame, ~300 ms/frame measured through this
         # terminal's relay); fused is one dispatch + the single
-        # readback. Filter state is donated and carried device-side.
+        # readback. Filter state is carried (not donated) device-side —
+        # see the NOTE below the step definitions.
         import jax.numpy as jnp
         from acr_tpu.pipeline.infer import _mano_projection_tail, forward_fn
         pl = self.pipeline
         do_temporal = cfg.temporal_optimization
         do_render = self.visualizer is not None and cfg.renderer == "tpu"
+        # capacity telemetry: when the probe is enabled it is computed in
+        # EVERY fused step (cheap; rides the packed readback — a
+        # per-N-frames probe would need two traced program variants);
+        # the host only LOGS it every raster_overflow_every frames
+        do_probe = do_render and cfg.raster_overflow_every > 0
 
         self._stream_spec = []
         self._chunk_spec = []
@@ -133,6 +139,9 @@ class ACRApp:
                     offsets, cfg))
             if do_render:
                 out["_rgba"] = self.visualizer.render_rgba_device(out)
+                if do_probe:
+                    out["_raster_overflow"] = \
+                        self.visualizer.overflow_probe_device(out)
             return state, pack_outputs(out, self._stream_spec)
 
         # NOTE: the filter state is NOT donated — its freshly-initialized
@@ -174,6 +183,21 @@ class ACRApp:
                         fov_deg=float(cfg.FOV)),
                     (out["verts"], out["cam_trans"],
                      out["detection_flag"]))
+                if do_probe:
+                    from acr_tpu.viz.raster import render_overflow_probe
+                    per_frame = jax.lax.map(
+                        lambda vcd: render_overflow_probe(
+                            vcd[0], vcd[1], vcd[2], self.pipeline.faces,
+                            size=cfg.render_size,
+                            focal=float(cfg.focal_length),
+                            camera=self.visualizer.camera,
+                            fov_deg=float(cfg.FOV)),
+                        (out["verts"], out["cam_trans"],
+                         out["detection_flag"]))   # (B, 2)
+                    # chunk telemetry: worst tile across frames + total
+                    # overflowing tiles in the chunk
+                    out["_raster_overflow"] = jnp.stack(
+                        [per_frame[:, 0].max(), per_frame[:, 1].sum()])
             return state, pack_outputs(out, self._chunk_spec)
 
         self._jit_chunk_step = jax.jit(_chunk_step, donate_argnums=(4, 5))
@@ -194,7 +218,40 @@ class ACRApp:
 
     def unpack_stream(self, packed) -> Dict:
         """Host-side unpack of the stream step's single packed buffer."""
-        return unpack_outputs(packed, self._stream_spec)
+        out = unpack_outputs(packed, self._stream_spec)
+        self._consume_overflow_probe(out, n_frames=1)
+        return out
+
+    def _consume_overflow_probe(self, out: Dict, n_frames: int = 1):
+        """Pop the capacity-probe scalars (if present) and log them.
+
+        The fused steps compute the probe every step; the host logs it
+        once every ``raster_overflow_every`` rendered frames (overflows
+        always log as warnings).
+        """
+        overflow = out.pop("_raster_overflow", None)
+        if overflow is None:
+            return
+        every = self.cfg.raster_overflow_every
+        prev = getattr(self, "_probe_frame_idx", 0)
+        self._probe_frame_idx = prev + n_frames
+        max_tile, n_over = int(overflow[0]), int(overflow[1])
+        due = not every or prev == 0 \
+            or prev // every != self._probe_frame_idx // every
+        if n_over or due:
+            self._log_overflow(max_tile, n_over)
+
+    def _log_overflow(self, max_tile: int, n_over: int):
+        if n_over:
+            log.warning(
+                "binned rasterizer overflow: %d tiles above capacity "
+                "(max %d faces/tile) at render_size=%d — affected frames "
+                "rendered via the exact flat-kernel fallback; raise "
+                "viz.raster_pallas.BIN_CAP if this is frequent",
+                n_over, max_tile, self.cfg.render_size)
+        else:
+            log.debug("raster capacity probe: max %d faces/tile, "
+                      "0 overflowing tiles", max_tile)
 
     # ------------------------------------------------------------------
     def process_frame(self, bgr_frame: np.ndarray, path: str
@@ -232,17 +289,7 @@ class ACRApp:
 
         overflow = out.pop("_raster_overflow", None)
         if overflow is not None:
-            max_tile, n_over = int(overflow[0]), int(overflow[1])
-            if n_over:
-                log.warning(
-                    "binned rasterizer overflow: %d tiles above capacity "
-                    "(max %d faces/tile) at render_size=%d — this frame "
-                    "rendered via the exact flat-kernel fallback; raise "
-                    "viz.raster_pallas.BIN_CAP if this is frequent",
-                    n_over, max_tile, self.cfg.render_size)
-            else:
-                log.debug("raster capacity probe: max %d faces/tile, "
-                          "0 overflowing tiles", max_tile)
+            self._log_overflow(int(overflow[0]), int(overflow[1]))
 
         detected = np.asarray(out["detection_flag"])
         if not detected.any():
@@ -465,6 +512,8 @@ class ACRApp:
                         self.pipeline.mano_r, self.filter_state,
                         img_c, off_c)
                     o = unpack_outputs(packed, self._chunk_spec)
+                    self._consume_overflow_probe(
+                        o, n_frames=len(batch_paths))
                 else:
                     o = self.pipeline(img_c, off_c)
                     if seq is not None:

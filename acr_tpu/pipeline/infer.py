@@ -197,7 +197,7 @@ class ACRPipeline:
         tree = self.params.get("params", {})
         if "parser" in tree:
             self.merge_params = tree.pop("parser").get("fusion_fc")
-        if cfg.quantize == "int8":
+        if cfg.quantize.startswith("int8"):
             # W8A8 backbone+segm (ops/quant.py): default calibration on
             # synthetic frames at load; call .calibrate(real_frames)
             # before serving for production-quality activation scales
@@ -319,8 +319,20 @@ class ACRPipeline:
         pass a handful of real frames before serving for tighter
         scales (ops/quant.py).
         """
-        assert self.cfg.quantize == "int8", "calibrate() needs quantize=int8"
+        assert self.cfg.quantize.startswith("int8"), \
+            "calibrate() needs quantize=int8|int8_pc"
+        if images is None:
+            # make the implicit fallback visible to operators: serving
+            # with synthetic-frame scales clips real activations outside
+            # the synthetic range with no other signal (ADVICE r2)
+            import logging
+            logging.getLogger("acr_tpu").warning(
+                "int8 activation scales calibrated on SYNTHETIC frames "
+                "(uniform noise + mid-gray); call "
+                "ACRPipeline.calibrate(real_frames) before production "
+                "serving for representative scales (ops/quant.py)")
         from acr_tpu.ops.quant import quantize_for_net
-        self.params = quantize_for_net(self.net, self._float_params,
-                                       images=images,
-                                       input_size=self.cfg.input_size)
+        self.params = quantize_for_net(
+            self.net, self._float_params, images=images,
+            input_size=self.cfg.input_size,
+            per_channel=self.cfg.quantize.endswith("_pc"))

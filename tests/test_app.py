@@ -102,8 +102,9 @@ def test_raster_overflow_probe_wiring(tmp_path, frames_dir, small_params,
         app.run()
     assert app._frame_idx == 1
     probe_lines = [r for r in caplog.records
-                   if "raster" in r.getMessage() and "capacity" in
-                   r.getMessage() or "overflow" in r.getMessage()]
+                   if "raster" in r.getMessage()
+                   and ("capacity" in r.getMessage()
+                        or "overflow" in r.getMessage())]
     assert probe_lines, "probe produced no log line"
 
 

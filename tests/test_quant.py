@@ -82,6 +82,38 @@ def test_acrnet_int8_close_to_float(rng):
         assert rel < 0.05 and corr > 0.995, (k, rel, corr)
 
 
+def test_acrnet_int8_per_channel(rng):
+    """'int8_pc' (per-input-channel activation scales, exactly folded
+    into the weights): params carry (Ci,) ascale vectors, the net runs,
+    and aggregate error does not regress vs per-tensor int8."""
+    img = (rng.rand(1, 64, 64, 3) * 255).astype(np.uint8)
+    net = ACRNet()
+    params = _damped_params(net, img)
+    ref = net.apply(params, jnp.asarray(img))
+    stats = calibrate_amax(ACRNet(quantize="observe"), params, [img])
+
+    q_pc = quantize_tree_int8(params, stats, per_channel=True)
+    stem = q_pc["params"]["backbone"]["stem1"]["conv"]
+    assert stem["ascale"].shape == (3,)          # (Ci,) vector scales
+    out_pc = ACRNet(quantize="int8_pc").apply(q_pc, jnp.asarray(img))
+    out_pt = ACRNet(quantize="int8").apply(
+        quantize_tree_int8(params, stats), jnp.asarray(img))
+
+    def mean_rel(out):
+        errs = []
+        for k in ref:
+            a = np.asarray(ref[k], np.float32).ravel()
+            b = np.asarray(out[k], np.float32).ravel()
+            errs.append(np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9))
+        return float(np.mean(errs))
+
+    rel_pc, rel_pt = mean_rel(out_pc), mean_rel(out_pt)
+    assert rel_pc < 0.05, rel_pc
+    # exactly-folded scales can only tighten the activation rounding;
+    # allow slack for weight-grid interaction noise
+    assert rel_pc <= rel_pt * 1.25, (rel_pc, rel_pt)
+
+
 def test_pipeline_int8_calibrate(rng):
     """ACRPipeline(quantize='int8'): load-time calibration + recalibrate
     on user frames; the full jitted chain runs and stays finite."""
