@@ -147,8 +147,26 @@ class Config:
         FreiHand (single-hand) dataset raises; disabling ``inter_prior``
         is only valid with ``prior_mode='none'``.
         """
+        if self.renderer in ("pyrender", "pytorch3d"):
+            # the reference's own renderer values (acr/config.py:37; its
+            # demo.yml ships renderer:'pyrender') — remap to the TPU
+            # rasterizer with the matching camera model so reference
+            # configs stay drop-in: pyrender used IntrinsicsCamera
+            # (renderer_pyrd.py:20-47, our 'intrinsics' default),
+            # pytorch3d used FoVPerspective/FoVOrthographic
+            # (renderer_pt3d.py:74-110, our 'pt3d' rule)
+            import logging
+            legacy = self.renderer
+            if legacy == "pytorch3d" and self.camera_model == "intrinsics":
+                self.camera_model = "pt3d"
+            self.renderer = "tpu"
+            logging.getLogger("acr_tpu").warning(
+                "renderer=%r is a reference (GPU-era) backend name; "
+                "remapped to the TPU rasterizer (renderer='tpu', "
+                "camera_model=%r)", legacy, self.camera_model)
         if self.renderer not in ("tpu", "native", "none"):
-            raise ValueError(f"renderer must be tpu|native|none, "
+            raise ValueError(f"renderer must be tpu|native|none "
+                             f"(legacy pyrender|pytorch3d are remapped), "
                              f"got {self.renderer!r}")
         if self.camera_model not in ("intrinsics", "pt3d", "fov", "ortho"):
             raise ValueError(f"camera_model must be intrinsics|pt3d|fov|"

@@ -55,3 +55,52 @@ def test_yaml_cli_precedence(tmp_path):
     cfg = make_config(str(yml), {"focal_length": 1265.0})
     assert cfg.focal_length == 1265.0     # CLI wins
     assert cfg.renderer == "native"       # YAML beats default
+
+
+def test_legacy_renderer_values_remapped(caplog):
+    """The reference's own renderer names must be accepted, not crash
+    (reference: acr/config.py:37 choices pyrender|pytorch3d; its
+    demo.yml ships renderer:'pyrender')."""
+    import logging
+    with caplog.at_level(logging.WARNING, logger="acr_tpu"):
+        cfg = Config(renderer="pyrender")
+    assert cfg.renderer == "tpu"
+    assert cfg.camera_model == "intrinsics"   # pyrender's camera model
+    assert any("remapped" in r.getMessage() for r in caplog.records)
+
+    cfg = Config(renderer="pytorch3d")
+    assert cfg.renderer == "tpu"
+    assert cfg.camera_model == "pt3d"         # the pt3d FoV/ortho rule
+    # an explicit camera_model survives the remap
+    cfg = Config(renderer="pytorch3d", camera_model="ortho")
+    assert cfg.camera_model == "ortho"
+    # still-invalid values still raise
+    with pytest.raises(ValueError):
+        Config(renderer="opengl")
+
+
+def test_reference_verbatim_demo_yml():
+    """The reference's shipped configs/demo.yml parses end-to-end with
+    unknown (train-era) keys routed to extras and renderer remapped."""
+    import os
+    ref_yml = "/root/reference/configs/demo.yml"
+    if not os.path.exists(ref_yml):
+        pytest.skip("reference tree unavailable")
+    cfg = make_config(ref_yml)
+    assert cfg.renderer == "tpu"              # 'pyrender' remapped
+    assert cfg.model_precision == "fp32"
+    assert cfg.focal_length == 1265.0 and cfg.FOV == 22.5
+    assert cfg.val_batch_size == 1
+    assert cfg.extras.get("backbone") == "hrnet"
+    assert "mesh_cloth" in cfg.extras and "GPUS" in cfg.extras
+
+
+def test_reference_readme_invocations_parse():
+    """Every README.md:46-58 demo invocation's flag set parses
+    (reference: README 'Demo' section)."""
+    for argv in (["--demo_mode", "webcam", "-t"],
+                 ["--demo_mode", "image", "--inputs", "/x.jpg"],
+                 ["--demo_mode", "folder", "-t", "--inputs", "/d"],
+                 ["--demo_mode", "video", "-t", "--inputs", "/v.mp4"]):
+        cfg = parse_args(argv)
+        assert cfg.demo_mode == argv[1]
