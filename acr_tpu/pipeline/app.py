@@ -468,12 +468,19 @@ class ACRApp:
         """
         import cv2
         bs = self.cfg.val_batch_size
+        # non-mesh show_items render per frame from the chunk outputs
+        # (reference behaviour: acr/visualization.py:174-254); centermap
+        # needs the heatmaps, which only the per-stage path emits
+        aux_items = [] if self.visualizer is None else \
+            [i for i in self.cfg.show_items if i != "mesh"]
+        need_maps = "centermap" in aux_items
         # fused chunk step (forward + scan-OneEuro + refine + on-device
         # render + ONE packed readback) covers the common configs; the
-        # legacy per-stage path remains for the host/native renderer
-        # and the host translation solve
+        # legacy per-stage path remains for the host/native renderer,
+        # the host translation solve, and centermap aux views
         fused = (self._jit_chunk_step is not None
                  and self.cfg.jit_translation_solve
+                 and not need_maps
                  and (self.visualizer is None or self.cfg.renderer == "tpu"))
         seq = None
         if not fused and self.cfg.temporal_optimization:
@@ -515,7 +522,7 @@ class ACRApp:
                     self._consume_overflow_probe(
                         o, n_frames=len(batch_paths))
                 else:
-                    o = self.pipeline(img_c, off_c)
+                    o = self.pipeline(img_c, off_c, return_maps=need_maps)
                     if seq is not None:
                         self.filter_state, poses, betas = seq(
                             self.filter_state, o["poses"], o["betas"],
@@ -538,16 +545,20 @@ class ACRApp:
                     self._emit_frame(frame, path)
                     continue
                 if self.visualizer is not None:
+                    one = {key: v[k:k + 1] for key, v in chunk.items()}
                     with self.timer.stage("render"):
                         if rgba is not None:       # device-rendered
                             rendered = self.visualizer.compose_on_frame(
                                 rgba[k], frame, meta)
                         else:
-                            one = {key: v[k:k + 1]
-                                   for key, v in chunk.items()}
                             rendered = self.visualizer.render_on_frame(
                                 frame, one, meta)
                     self._emit_frame(rendered, path)
+                    if aux_items:
+                        for name, view in self.visualizer.aux_views(
+                                one, meta, aux_items).items():
+                            self._emit_frame(view[:, :, ::-1],
+                                             self._aux_path(path, name))
                 else:
                     self._emit_frame(frame, path)
         return results

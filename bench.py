@@ -8,7 +8,13 @@ inference on one v5e chip"), so vs_baseline = fps / 60.
 Measures the full jitted chain (backbone -> heads -> parser -> MANO ->
 projection -> translation solve) in two configs: bf16/batch-8 (the
 per-chip throughput sweet spot; the headline metric) and fp32/batch-1
-(the demo-default latency path), reported in "extra".
+(the demo-default latency path, median of ACR_BENCH_REPS repetitions),
+reported in "extra" — plus ``stream_step_ms_b1``: the device time of
+the FUSED batch-1 webcam stream step (forward + OneEuro smoothing +
+MANO refine + TPU render, pipeline/app._stream_step), the
+BASELINE.md "webcam-mode p50 frame latency" number that transfers to
+production hosts (host-side capture/display excluded; on this relayed
+terminal they are transport-bound).
 
 Timing methodology: on this toolchain `block_until_ready` can return
 before compute finishes (docs/PERFORMANCE.md), so the timed region ends
@@ -78,6 +84,67 @@ def _measure(precision: str, batch: int, iters: int,
     }
 
 
+def _measure_stream_b1(iters: int, reps: int):
+    """Fused webcam stream step at batch 1: forward + OneEuro + refine
+    + on-device render, ONE dispatch per frame (pipeline/app). Times
+    ``iters`` chained async dispatches ended by one packed readback
+    (the same methodology as _measure), repeated ``reps`` times;
+    reports the per-step median and the p50/p90 across repetitions.
+    """
+    import jax
+    import numpy as np
+    import __graft_entry__ as ge
+    from acr_tpu.config import Config
+    from acr_tpu.pipeline.app import ACRApp
+
+    cfg = Config(input_size=512, mano_model_path=ge.MANO_DIR,
+                 model_path=ge.CKPT, demo_mode="webcam",
+                 temporal_optimization=True, renderer="tpu",
+                 render_size=512)
+    app = ACRApp(cfg)
+    pl = app.pipeline
+    image = np.random.RandomState(0).randint(
+        0, 255, (1, 512, 512 * 3)).astype(np.uint8)
+    offsets = np.tile(np.array(
+        [[512, 512, 0, 0, 0, 0, 0, 0, 0, 0]], np.float32), (1, 1))
+    step = app._jit_stream_step
+    state = app.filter_state
+
+    def force(packed):
+        return float(np.asarray(packed).sum())
+
+    state, packed = step(pl.params, pl.mano_l, pl.mano_r, state,
+                         image, offsets)
+    force(packed)                        # compile
+    for _ in range(3):
+        state, packed = step(pl.params, pl.mano_l, pl.mano_r, state,
+                             image, offsets)
+    force(packed)                        # warmup
+
+    jax.block_until_ready(packed)
+    time.sleep(0.05)
+    t = time.perf_counter()
+    force(packed)                        # readback of a complete result
+    readback_s = time.perf_counter() - t
+
+    per_rep_ms = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, packed = step(pl.params, pl.mano_l, pl.mano_r, state,
+                                 image, offsets)
+        force(packed)
+        dt = max(time.perf_counter() - t0 - readback_s, 1e-9)
+        per_rep_ms.append(dt * 1e3 / iters)
+    per_rep_ms.sort()
+    return {
+        "stream_step_ms_b1": round(float(np.median(per_rep_ms)), 3),
+        "stream_step_ms_b1_p50": round(float(np.percentile(per_rep_ms, 50)), 3),
+        "stream_step_ms_b1_p90": round(float(np.percentile(per_rep_ms, 90)), 3),
+        "stream_readback_ms": round(readback_s * 1e3, 1),
+    }
+
+
 def main():
     import jax
 
@@ -110,16 +177,28 @@ def main():
             metric += f"_{quantize}"
         fps = r["fps"]
     else:
+        reps = int(os.environ.get("ACR_BENCH_REPS", "5"))
         hot = _measure("bf16", 8, iters)
-        demo = _measure("fp32", 1, iters)
+        # demo-default latency config: median of `reps` repetitions —
+        # b1 is dispatch-dominated and a single rep wanders ~1.4x
+        # through the relayed transport (round-2 review item 6)
+        demo_fps = sorted(_measure("fp32", 1, iters)["fps"]
+                          for _ in range(reps))
+        import numpy as _np
         metric = "two_hand_512px_inference_fps_b8_bf16"
         fps = hot["fps"]
         extra = {
-            "fp32_b1_fps": demo["fps"],
-            "fp32_b1_fps_uncorrected": demo["fps_uncorrected"],
+            "fp32_b1_fps": round(float(_np.median(demo_fps)), 2),
+            "fp32_b1_fps_spread": [demo_fps[0], demo_fps[-1]],
             "bf16_b8_fps_uncorrected": hot["fps_uncorrected"],
             "readback_ms": hot["readback_ms"],
         }
+        try:
+            # the BASELINE.md webcam-latency target: fused b1 stream
+            # step (forward + OneEuro + refine + render)
+            extra.update(_measure_stream_b1(iters, reps))
+        except Exception as e:
+            extra["stream_step_ms_b1"] = f"skipped: {type(e).__name__}"
         try:
             # opt-in approximate int8 serving path at its b16 sweet
             # spot (docs/PERFORMANCE.md); headline stays the exact path

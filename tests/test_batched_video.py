@@ -112,6 +112,35 @@ def test_batched_temporal_runs_and_is_finite(tmp_path, frames_dir,
             assert np.isfinite(np.float32(h["poses"])).all()
 
 
+def test_batched_aux_views_rendered(tmp_path, frames_dir, small_params):
+    """Non-mesh show_items are honored in batched mode (round-2 review:
+    they silently vanished; reference behaviour acr/visualization.py:
+    174-254). pj2d/j3d come from the fused chunk outputs; centermap
+    forces the per-stage path that emits the heatmaps."""
+    out_dir = tmp_path / "out"
+    app = ACRApp(make_cfg(tmp_path, inputs=frames_dir, val_batch_size=2,
+                          show_items=("mesh", "pj2d", "j3d", "centermap")),
+                 params=small_params)
+    results = app.run()
+    assert len(results) == 5
+    names = os.listdir(out_dir)
+    for i in range(5):
+        for item in ("pj2d", "j3d", "centermap"):
+            assert f"{i:06d}_{item}.jpg" in names, (item, sorted(names))
+
+
+def test_batched_aux_views_fused_path(tmp_path, frames_dir, small_params):
+    """pj2d/j3d aux views work on the FUSED chunk step (no heatmaps
+    requested), which stays the one-dispatch/one-readback fast path."""
+    out_dir = tmp_path / "out"
+    app = ACRApp(make_cfg(tmp_path, inputs=frames_dir, val_batch_size=2,
+                          show_items=("mesh", "pj2d")),
+                 params=small_params)
+    app.run()
+    names = os.listdir(out_dir)
+    assert any(n.endswith("_pj2d.jpg") for n in names), sorted(names)
+
+
 def test_chunked_smoothing_equals_full_scan(rng):
     poses = jnp.asarray(rng.randn(7, 2, 48).astype(np.float32) * 0.1)
     betas = jnp.asarray(rng.randn(7, 2, 10).astype(np.float32) * 0.1)

@@ -300,21 +300,10 @@ def test_mano_layer_parity_vs_reference(ref_model, rng, tmp_path):
         from acr_tpu.models.mano import mano_forward
 
         assets = make_assets("right", seed=0)
-        import scipy.sparse as sp
-        pkl = {
-            "v_template": assets["v_template"].astype(np.float64),
-            "shapedirs": assets["shapedirs"].astype(np.float64),
-            "posedirs": assets["posedirs"].astype(np.float64),
-            "J_regressor": sp.csc_matrix(
-                assets["J_regressor"].astype(np.float64)),
-            "weights": assets["weights"].astype(np.float64),
-            "f": assets["faces"].astype(np.uint32),
-            "hands_mean": assets["hands_mean"].astype(np.float64),
-            "hands_components": assets["hands_components"].astype(np.float64),
-            "kintree_table": assets["kintree_table"],
-            "bs_type": "lrotmin",
-            "bs_style": "lbs",
-        }
+        # download-format pkl construction shared with the ingestion
+        # test (tests/test_ingest.py)
+        from tests.test_ingest import make_chumpy_style_pkl
+        pkl = make_chumpy_style_pkl(assets)
         mano_dir = tmp_path / "mano"
         mano_dir.mkdir()
         with open(mano_dir / "MANO_RIGHT.pkl", "wb") as f:

@@ -165,6 +165,21 @@ def enumerate_flax_paths() -> list:
     return paths
 
 
+def carry_parser_heads(torch_sd: dict, flat: dict, used: set) -> None:
+    """Carry the merge-mode cross-hand fusion head, which lives on the
+    reference's ResultParser (acr/result_parser.py:17-18), so
+    prior_mode='merge' checkpoints work even though the demo config
+    never enables it. Mutates ``flat``/``used`` in place."""
+    for tkey, name, transform in (
+            ("_result_parser.fusion_fc_end.weight", "parser/fusion_fc/kernel",
+             lambda w: np.transpose(w, (1, 0))),
+            ("_result_parser.fusion_fc_end.bias", "parser/fusion_fc/bias",
+             lambda w: w)):
+        if tkey in torch_sd:
+            flat[name] = transform(torch_sd[tkey])
+            used.add(tkey)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--torch_ckpt", required=True)
@@ -174,19 +189,7 @@ def main(argv=None):
     torch_sd = _to_numpy_state_dict(args.torch_ckpt)
     paths = enumerate_flax_paths()
     flat, used, missing = convert_state_dict(torch_sd, paths)
-
-    # merge-mode cross-hand fusion head lives on the reference's
-    # ResultParser (acr/result_parser.py:17-18); carried through so
-    # prior_mode='merge' checkpoints work even though the demo config
-    # never enables it.
-    for tkey, name, transform in (
-            ("_result_parser.fusion_fc_end.weight", "parser/fusion_fc/kernel",
-             lambda w: np.transpose(w, (1, 0))),
-            ("_result_parser.fusion_fc_end.bias", "parser/fusion_fc/bias",
-             lambda w: w)):
-        if tkey in torch_sd:
-            flat[name] = transform(torch_sd[tkey])
-            used.add(tkey)
+    carry_parser_heads(torch_sd, flat, used)
 
     unused = sorted(set(torch_sd) - used)
     print(f"converted {len(flat)}/{len(paths)} params")
