@@ -185,6 +185,30 @@ def shade(face_id: jnp.ndarray, bary: jnp.ndarray, faces: jnp.ndarray,
     return jnp.concatenate([rgb * alpha[..., None], alpha[..., None]], axis=-1)
 
 
+def shade_from_attrs(face_id: jnp.ndarray, bary: jnp.ndarray,
+                     attr_img: jnp.ndarray,
+                     ambient: float = 0.3,
+                     directional: float = 1.5) -> jnp.ndarray:
+    """shade() from in-kernel-picked per-face attribute rows.
+
+    ``attr_img`` (H, W, N_ATTR): rows 0..8 = the winning face's corner
+    normals [n0 n1 n2] (zeros on background), 9..11 = its hand color —
+    produced by the pallas kernels' exact one-hot MXU pick, so the
+    values are bit-identical to shade()'s per-pixel gathers wherever
+    face_id >= 0; the final RGBA is identical everywhere because
+    background rgb is premultiplied by alpha = 0 in both paths.
+    """
+    h, w = face_id.shape
+    tri_n = attr_img[..., :9].reshape(h, w, 3, 3)
+    n = jnp.einsum("hwk,hwkc->hwc", bary, tri_n)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    lambert = jnp.maximum(0.0, -n[..., 2])
+    intensity = jnp.clip(ambient + directional * lambert, 0.0, 1.0)
+    rgb = attr_img[..., 9:12] * intensity[..., None]
+    alpha = (face_id >= 0).astype(rgb.dtype)
+    return jnp.concatenate([rgb * alpha[..., None], alpha[..., None]], axis=-1)
+
+
 def _scene_screen_faces(all_verts: jnp.ndarray, detection_flag: jnp.ndarray,
                         faces: jnp.ndarray, verts_per_hand: int, size: int,
                         focal: float, camera: str, fov_deg: float):
@@ -271,19 +295,39 @@ def render_hands(verts: jnp.ndarray,
         camera, fov_deg)
 
     normals = compute_vertex_normals(all_verts, all_faces)
+    hand_of_face = jnp.concatenate(
+        [jnp.zeros(faces.shape[1], jnp.int32),
+         jnp.ones(faces.shape[1], jnp.int32),
+         jnp.zeros(pad, jnp.int32)])
+    face_colors = jnp.asarray(PRE_COLORS)[hand_of_face]
     if backend == "auto":
         backend = "scan" if jax.default_backend() == "cpu" else "pallas"
     if backend == "pallas":
         from acr_tpu.viz.raster_pallas import (
-            bin_cap_for, bin_overflow_stats, rasterize_pallas,
+            N_ATTR, bin_cap_for, bin_overflow_stats, rasterize_pallas,
             rasterize_pallas_binned)
+        # per-face attribute rows picked in-kernel for the winning
+        # face (exact one-hot matmul on the otherwise-idle MXU): rows
+        # 0..8 = the three corner normals, 9..11 = the hand color.
+        # This replaces shade()'s per-pixel (H, W, 3, 3) normal gather
+        # + (H, W, 3) color gather — TPU gathers lower to per-element
+        # loops whose cost scales with pixel count. Measured A/B on the
+        # two-hand template scene (v5e, scalar-readback methodology):
+        # full render 10.02 -> 5.57 ms/frame at 512px (1.8x) and
+        # 124.8 -> 48.3 ms at 2048px (2.6x; the gather is ~80 ms of
+        # the high-res frame). docs/PERFORMANCE.md "Rendering".
+        f_total = all_faces.shape[0]
+        corner_n = normals[all_faces].transpose(1, 2, 0)     # (3, 3, F)
+        attrs = jnp.concatenate([
+            corner_n.reshape(9, f_total),
+            face_colors.T,
+            jnp.zeros((N_ATTR - 12, f_total), jnp.float32)], axis=0)
         # bbox-binned per-tile face lists: O(pixels x faces/tile)
         # instead of O(pixels x faces). At high resolution each 8x256px
         # tile intersects a smaller slice of the mesh, so a smaller
-        # capacity holds (and halves the kernel's chunk count):
-        # measured 17.7 -> 2.4 ms at 512px, 277 -> ~40 ms at 2048px.
+        # capacity holds (and halves the kernel's chunk count).
         cap = bin_cap_for(size)
-        if all_faces.shape[0] > cap:
+        if f_total > cap:
             # exactness guarantee: when any tile's bbox-overlap count
             # exceeds the bin capacity (extreme close-ups / degenerate
             # cameras — observed live via the overflow probe), fall
@@ -292,23 +336,20 @@ def render_hands(verts: jnp.ndarray,
             # taken branch, so the common case stays at binned speed.
             _, n_over = bin_overflow_stats(screen, all_faces, size, size,
                                            cap=cap)
-            face_id, bary = jax.lax.cond(
+            out = jax.lax.cond(
                 n_over > 0,
                 lambda s, f: rasterize_pallas(s, f, size, size,
-                                              interpret=interpret),
+                                              interpret=interpret,
+                                              attrs=attrs),
                 lambda s, f: rasterize_pallas_binned(s, f, size, size,
                                                      bin_cap=cap,
-                                                     interpret=interpret),
+                                                     interpret=interpret,
+                                                     attrs=attrs),
                 screen, all_faces)
         else:
-            face_id, bary = rasterize_pallas(screen, all_faces, size, size,
-                                             interpret=interpret)
-    else:
-        face_id, bary = rasterize(screen, all_faces, size, size)
-
-    hand_of_face = jnp.concatenate(
-        [jnp.zeros(faces.shape[1], jnp.int32),
-         jnp.ones(faces.shape[1], jnp.int32),
-         jnp.zeros(pad, jnp.int32)])
-    face_colors = jnp.asarray(PRE_COLORS)[hand_of_face]
+            out = rasterize_pallas(screen, all_faces, size, size,
+                                   interpret=interpret, attrs=attrs)
+        face_id, bary, attr_img = out
+        return shade_from_attrs(face_id, bary, attr_img)
+    face_id, bary = rasterize(screen, all_faces, size, size)
     return shade(face_id, bary, all_faces, normals, face_colors)

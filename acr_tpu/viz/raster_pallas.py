@@ -42,14 +42,65 @@ def bin_cap_for(size: int) -> int:
     return BIN_CAP if size <= 1024 else BIN_CAP // 2
 
 
-def _raster_kernel(tri_ref, inv_ref, fid_ref, b0_ref, b1_ref, *,
-                   n_chunks: int, col_tile: int):
+N_ATTR = 16           # per-face attribute rows picked in-kernel (see below)
+
+
+def _attr_pick_fold(slot, attr_rows, n_chunks, col_tile):
+    """Winner-attribute pick on the MXU, AFTER the z-fold.
+
+    ``slot`` (8, col_tile) int32: the winning face's index into
+    ``attr_rows`` (N_ATTR, n_chunks*FACE_CHUNK) per pixel (-1 =
+    background). Folds over face chunks accumulating
+    one-hot(slot) @ attr_chunk -> (px, N_ATTR); each pixel's slot lies
+    in exactly one chunk, so the sum accumulates the single hit.
+
+    Exact: each one-hot row has at most a single 1.0, and 1.0 x a
+    accumulates to precisely ``a`` under Precision.HIGHEST (the bf16x3
+    f32 decomposition reconstructs a 24-bit mantissa, and adding it to
+    an all-zero f32 accumulator is exact) — so this is bit-identical
+    to a per-pixel gather, at matmul speed instead of gather speed
+    (the (H, W) attribute gather this replaces profiled at 3.1
+    ms/frame at 512px; the matmul rides the otherwise-idle MXU).
+    Running it after the z-fold keeps it out of the edge-math loop's
+    VMEM live set.
+    """
+    px_flat = ROW_TILE * col_tile
+    # one sublane->lane relayout per tile; everything downstream is a
+    # standard (N_ATTR, 128) @ (128, px) matmul with no transposes.
+    # The result stays (N_ATTR, px) so the VMEM/HBM lane dimension is
+    # px (a (px, 16) layout would pad 16 lanes -> 128 and double-buffer
+    # the waste).
+    slot_row = slot.reshape(1, px_flat)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (FACE_CHUNK, px_flat), 0)
+
+    def step(ci, attrc):
+        sl = pl.multiple_of(ci * FACE_CHUNK, FACE_CHUNK)
+        attr_chunk = attr_rows(sl)                    # (N_ATTR, 128)
+        onehot_t = (sub == slot_row - sl).astype(jnp.float32)
+        return attrc + jax.lax.dot_general(
+            attr_chunk, onehot_t, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)      # (N_ATTR, px)
+
+    init = jnp.zeros((N_ATTR, px_flat), jnp.float32)
+    return jax.lax.fori_loop(0, n_chunks, step, init)
+
+
+def _raster_kernel(tri_ref, inv_ref, *rest, n_chunks: int, col_tile: int,
+                   with_attrs: bool):
     """One (row, column) tile: fold face chunks, carry buffers functionally.
 
     tri_ref: (16, F_pad) — rows 0..8 = [ax, ay, az, bx, by, bz, cx, cy,
              cz], rows 9..15 zero sublane padding.
     inv_ref: (1, F_pad) inverse signed area (0 for degenerate faces).
+    with_attrs adds attr_ref (N_ATTR, F_pad) per-face attribute rows and
+    an (px, N_ATTR) output of the winning face's rows per pixel
+    (background keeps zeros).
     """
+    if with_attrs:
+        attr_ref, fid_ref, b0_ref, b1_ref, attr_out_ref = rest
+    else:
+        attr_ref = attr_out_ref = None
+        fid_ref, b0_ref, b1_ref = rest
     tile_r = pl.program_id(0)
     tile_c = pl.program_id(1)
     # tpu.iota only produces integers; cast to f32 afterwards
@@ -110,20 +161,31 @@ def _raster_kernel(tri_ref, inv_ref, fid_ref, b0_ref, b1_ref, *,
             jnp.full((ROW_TILE, col_tile), -1, jnp.int32),
             jnp.zeros((ROW_TILE, col_tile), jnp.float32),
             jnp.zeros((ROW_TILE, col_tile), jnp.float32))
-    zbuf, fid, b0c, b1c = jax.lax.fori_loop(0, n_chunks, chunk_step, init)
+    _, fid, b0c, b1c = jax.lax.fori_loop(0, n_chunks, chunk_step, init)
     fid_ref[:] = fid
     b0_ref[:] = b0c
     b1_ref[:] = b1c
+    if with_attrs:
+        # flat kernel: the winning global face id IS the attr column
+        attr_out_ref[0] = _attr_pick_fold(
+            fid, lambda sl: attr_ref[:, pl.ds(sl, FACE_CHUNK)],
+            n_chunks, col_tile)
 
 
-def _raster_kernel_binned(tri_ref, inv_ref, ids_ref, fid_ref, b0_ref, b1_ref,
-                          *, n_chunks: int, col_tile: int):
+def _raster_kernel_binned(tri_ref, inv_ref, ids_ref, *rest,
+                          n_chunks: int, col_tile: int, with_attrs: bool):
     """Like _raster_kernel, but over THIS tile's binned face list.
 
-    tri_ref: (1, 16, CAP) gathered triangle rows for the tile;
+    tri_ref: (1, R, CAP) gathered triangle rows for the tile — R = 16
+             (rows 0..8 = triangle, rest pad) or 32 when with_attrs
+             (rows 16..31 = per-face attribute rows, see _attr_pick);
     inv_ref: (1, 1, CAP) inverse areas (0 for empty/degenerate slots);
     ids_ref: (1, 1, CAP) int32 global face ids (-1 for empty slots).
     """
+    if with_attrs:
+        fid_ref, b0_ref, b1_ref, attr_out_ref = rest
+    else:
+        fid_ref, b0_ref, b1_ref = rest
     tile_r = pl.program_id(0)
     tile_c = pl.program_id(1)
     px = (jax.lax.broadcasted_iota(
@@ -135,7 +197,10 @@ def _raster_kernel_binned(tri_ref, inv_ref, ids_ref, fid_ref, b0_ref, b1_ref,
     width = col_tile
 
     def chunk_step(ci, carry):
-        zbuf, fid, b0c, b1c = carry
+        if with_attrs:
+            zbuf, fid, b0c, b1c, slotc = carry
+        else:
+            (zbuf, fid, b0c, b1c), slotc = carry, None
         sl = pl.multiple_of(ci * FACE_CHUNK, FACE_CHUNK)
         ax = tri_ref[0, 0, pl.ds(sl, FACE_CHUNK)]
         ay = tri_ref[0, 1, pl.ds(sl, FACE_CHUNK)]
@@ -176,16 +241,27 @@ def _raster_kernel_binned(tri_ref, inv_ref, ids_ref, fid_ref, b0_ref, b1_ref,
         fid = jnp.where(win, picki, fid)
         b0c = jnp.where(win, pickf(w0), b0c)
         b1c = jnp.where(win, pickf(w1), b1c)
-        return zbuf, fid, b0c, b1c
+        if not with_attrs:
+            return zbuf, fid, b0c, b1c
+        # the winner's CAP-SLOT index keys the post-fold attr pick
+        # (fid holds the global id, useless against this tile's list)
+        slotc = jnp.where(win, sl + best.astype(jnp.int32), slotc)
+        return zbuf, fid, b0c, b1c, slotc
 
     init = (jnp.full((ROW_TILE, col_tile), jnp.inf, jnp.float32),
             jnp.full((ROW_TILE, col_tile), -1, jnp.int32),
             jnp.zeros((ROW_TILE, col_tile), jnp.float32),
             jnp.zeros((ROW_TILE, col_tile), jnp.float32))
-    zbuf, fid, b0c, b1c = jax.lax.fori_loop(0, n_chunks, chunk_step, init)
-    fid_ref[:] = fid
-    b0_ref[:] = b0c
-    b1_ref[:] = b1c
+    if with_attrs:
+        init = init + (jnp.full((ROW_TILE, col_tile), -1, jnp.int32),)
+    out = jax.lax.fori_loop(0, n_chunks, chunk_step, init)
+    fid_ref[:] = out[1]
+    b0_ref[:] = out[2]
+    b1_ref[:] = out[3]
+    if with_attrs:
+        attr_out_ref[0] = _attr_pick_fold(
+            out[4], lambda sl: tri_ref[0, 16:, pl.ds(sl, FACE_CHUNK)],
+            n_chunks, col_tile)
 
 
 def _bin_faces(tri_rows: jnp.ndarray, inv_area: jnp.ndarray,
@@ -265,12 +341,19 @@ def bin_overflow_stats(verts_screen: jnp.ndarray, faces: jnp.ndarray,
     return counts.max(), jnp.sum(counts > cap)
 
 
+def _attr_image(attr_flat: jnp.ndarray, height: int, width: int,
+                col_tile: int) -> jnp.ndarray:
+    """(n_ty*n_tx, N_ATTR, px) tile-major kernel output -> (H, W, N_ATTR)."""
+    n_ty, n_tx = height // ROW_TILE, width // col_tile
+    a = attr_flat.reshape(n_ty, n_tx, N_ATTR, ROW_TILE, col_tile)
+    return a.transpose(0, 3, 1, 4, 2).reshape(height, width, N_ATTR)
+
+
 @functools.partial(jax.jit, static_argnames=("height", "width", "bin_cap",
                                              "interpret"))
 def rasterize_pallas_binned(verts_screen: jnp.ndarray, faces: jnp.ndarray,
                             height: int, width: int, bin_cap: int = 512,
-                            interpret: bool = False
-                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                            interpret: bool = False, attrs=None):
     """Binned variant of rasterize_pallas: O(pixels x faces-per-tile).
 
     The flat kernel sweeps EVERY face for every pixel tile — linear in
@@ -281,6 +364,11 @@ def rasterize_pallas_binned(verts_screen: jnp.ndarray, faces: jnp.ndarray,
     default capacity. Same output contract as rasterize_pallas /
     viz.raster.rasterize; bit-identical while no tile overflows
     ``bin_cap`` (see _bin_faces).
+
+    ``attrs`` (N_ATTR, F) float32 per-face attribute rows adds a third
+    return: the winning face's rows per pixel, (H, W, N_ATTR), zeros on
+    background — picked in-kernel on the MXU (see _attr_pick), which
+    replaces the slow per-pixel gather a shading stage would need.
     """
     f_total = faces.shape[0]
     assert f_total % FACE_CHUNK == 0
@@ -290,11 +378,19 @@ def rasterize_pallas_binned(verts_screen: jnp.ndarray, faces: jnp.ndarray,
     assert height % ROW_TILE == 0 and width % col_tile == 0
     n_ty, n_tx = height // ROW_TILE, width // col_tile
     n_chunks = bin_cap // FACE_CHUNK
+    with_attrs = attrs is not None
 
     tri = verts_screen[faces]                        # (F, 3, 3)
     tri_rows = tri.transpose(1, 2, 0).reshape(9, f_total)
-    tri_rows = jnp.concatenate(
-        [tri_rows, jnp.zeros((7, f_total), tri_rows.dtype)], axis=0)
+    pad_rows = jnp.zeros((7, f_total), tri_rows.dtype)
+    if with_attrs:
+        # one combined (32, F) table -> ONE binned gather serves both
+        # the geometry rows and the attribute rows
+        tri_rows = jnp.concatenate(
+            [tri_rows, pad_rows, attrs.astype(tri_rows.dtype)], axis=0)
+    else:
+        tri_rows = jnp.concatenate([tri_rows, pad_rows], axis=0)
+    n_rows = tri_rows.shape[0]
     xs = tri[:, :, 0]
     ys = tri[:, :, 1]
     area = ((xs[:, 1] - xs[:, 0]) * (ys[:, 2] - ys[:, 0])
@@ -305,51 +401,66 @@ def rasterize_pallas_binned(verts_screen: jnp.ndarray, faces: jnp.ndarray,
                                      col_tile, bin_cap)
 
     kernel = functools.partial(_raster_kernel_binned, n_chunks=n_chunks,
-                               col_tile=col_tile)
+                               col_tile=col_tile, with_attrs=with_attrs)
     grid = (n_ty, n_tx)
     out_spec = pl.BlockSpec((ROW_TILE, col_tile), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     tile_ix = lambda i, j: (i * n_tx + j, 0, 0)
-    fid, b0, b1 = pl.pallas_call(
+    out_specs = [out_spec, out_spec, out_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((height, width), jnp.int32),
+        jax.ShapeDtypeStruct((height, width), jnp.float32),
+        jax.ShapeDtypeStruct((height, width), jnp.float32),
+    ]
+    if with_attrs:
+        out_specs.append(pl.BlockSpec(
+            (1, N_ATTR, ROW_TILE * col_tile),
+            lambda i, j: (i * n_tx + j, 0, 0), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (n_ty * n_tx, N_ATTR, ROW_TILE * col_tile), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 16, bin_cap), tile_ix,
+            pl.BlockSpec((1, n_rows, bin_cap), tile_ix,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bin_cap), tile_ix,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bin_cap), tile_ix,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[out_spec, out_spec, out_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((height, width), jnp.int32),
-            jax.ShapeDtypeStruct((height, width), jnp.float32),
-            jax.ShapeDtypeStruct((height, width), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(tri_t, inv_t, ids_t)
+    fid, b0, b1 = outs[:3]
     bary = jnp.stack([b0, b1, 1.0 - b0 - b1], axis=-1)
     bary = jnp.where((fid >= 0)[..., None], bary, 0.0)
+    if with_attrs:
+        return fid, bary, _attr_image(outs[3], height, width, col_tile)
     return fid, bary
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "interpret"))
 def rasterize_pallas(verts_screen: jnp.ndarray, faces: jnp.ndarray,
                      height: int, width: int,
-                     interpret: bool = False
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     interpret: bool = False, attrs=None):
     """Drop-in replacement for viz.raster.rasterize.
 
     verts_screen (V, 3) = (u, v, depth); faces (F, 3) int32, F a
     multiple of FACE_CHUNK (pad with degenerate faces).
     Returns (face_id (H, W) int32 with -1 background, bary (H, W, 3)).
+    Optional ``attrs`` (N_ATTR, F) float32 adds a third return — the
+    winning face's attribute rows per pixel, (H, W, N_ATTR), zeros on
+    background (see rasterize_pallas_binned).
     """
     f_total = faces.shape[0]
     assert f_total % FACE_CHUNK == 0
     col_tile = min(COL_TILE, width)
     assert height % ROW_TILE == 0 and width % col_tile == 0
+    n_ty, n_tx = height // ROW_TILE, width // col_tile
     n_chunks = f_total // FACE_CHUNK
+    with_attrs = attrs is not None
 
     tri = verts_screen[faces]                        # (F, 3, 3)
     # rows: ax ay az bx by bz cx cy cz -> (16, F) sublane-padded
@@ -364,28 +475,44 @@ def rasterize_pallas(verts_screen: jnp.ndarray, faces: jnp.ndarray,
     inv_area = jnp.where(jnp.abs(area) < 1e-9, 0.0, 1.0 / area)[None, :]
 
     kernel = functools.partial(_raster_kernel, n_chunks=n_chunks,
-                               col_tile=col_tile)
-    grid = (height // ROW_TILE, width // col_tile)
+                               col_tile=col_tile, with_attrs=with_attrs)
+    grid = (n_ty, n_tx)
     out_spec = pl.BlockSpec((ROW_TILE, col_tile), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
-    fid, b0, b1 = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((16, f_total), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, f_total), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [tri_rows, inv_area]
+    out_specs = [out_spec, out_spec, out_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((height, width), jnp.int32),
+        jax.ShapeDtypeStruct((height, width), jnp.float32),
+        jax.ShapeDtypeStruct((height, width), jnp.float32),
+    ]
+    if with_attrs:
+        in_specs.append(pl.BlockSpec((N_ATTR, f_total), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(attrs.astype(jnp.float32))
+        out_specs.append(pl.BlockSpec(
+            (1, N_ATTR, ROW_TILE * col_tile),
+            lambda i, j: (i * n_tx + j, 0, 0), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (n_ty * n_tx, N_ATTR, ROW_TILE * col_tile), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((16, f_total), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f_total), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[out_spec, out_spec, out_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((height, width), jnp.int32),
-            jax.ShapeDtypeStruct((height, width), jnp.float32),
-            jax.ShapeDtypeStruct((height, width), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(tri_rows, inv_area)
+    )(*operands)
+    fid, b0, b1 = outs[:3]
     bary = jnp.stack([b0, b1, 1.0 - b0 - b1], axis=-1)
     # background pixels keep bary 0 like the scan rasterizer
     bary = jnp.where((fid >= 0)[..., None], bary, 0.0)
+    if with_attrs:
+        return fid, bary, _attr_image(outs[3], height, width, col_tile)
     return fid, bary

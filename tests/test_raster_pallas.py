@@ -231,3 +231,64 @@ def test_render_hands_scan_backend_unchanged(rng):
     b = render_hands(verts, trans, det, faces, size=128, focal=200.0,
                      backend="auto")      # cpu -> scan
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel winner-attribute pick (the MXU one-hot fold that replaces
+# shade()'s per-pixel gathers)
+# ---------------------------------------------------------------------------
+
+def _random_attrs(rng, f_total):
+    from acr_tpu.viz.raster_pallas import N_ATTR
+    return jnp.asarray(rng.randn(N_ATTR, f_total).astype(np.float32))
+
+
+def test_attr_pick_matches_gather_flat(rng):
+    screen, faces = make_geometry(rng)
+    attrs = _random_attrs(rng, faces.shape[0])
+    fid0, bary0 = rasterize_pallas(screen, faces, 128, 128, interpret=True)
+    fid1, bary1, attr_img = rasterize_pallas(screen, faces, 128, 128,
+                                             interpret=True, attrs=attrs)
+    np.testing.assert_array_equal(np.asarray(fid0), np.asarray(fid1))
+    np.testing.assert_array_equal(np.asarray(bary0), np.asarray(bary1))
+    fid = np.asarray(fid1)
+    at = np.asarray(attrs)
+    # covered pixels: bit-identical to a host gather of the winner's rows
+    expect = np.where((fid >= 0)[..., None],
+                      at.T[np.maximum(fid, 0)], 0.0)
+    np.testing.assert_array_equal(np.asarray(attr_img), expect)
+
+
+def test_attr_pick_matches_gather_binned(rng):
+    s1, f1 = make_geometry(rng, n_pts=300)
+    s2, f2 = make_geometry(rng, n_pts=300)
+    s1 = s1.at[:, 0].add(-30.0)
+    s2 = s2.at[:, 0].add(30.0)
+    screen = jnp.concatenate([s1, s2])
+    faces = jnp.concatenate([f1, f2 + s1.shape[0]])
+    attrs = _random_attrs(rng, faces.shape[0])
+    fid0, bary0 = rasterize_pallas_binned(screen, faces, 128, 128,
+                                          bin_cap=128, interpret=True)
+    fid1, bary1, attr_img = rasterize_pallas_binned(
+        screen, faces, 128, 128, bin_cap=128, interpret=True, attrs=attrs)
+    np.testing.assert_array_equal(np.asarray(fid0), np.asarray(fid1))
+    np.testing.assert_array_equal(np.asarray(bary0), np.asarray(bary1))
+    fid = np.asarray(fid1)
+    at = np.asarray(attrs)
+    expect = np.where((fid >= 0)[..., None],
+                      at.T[np.maximum(fid, 0)], 0.0)
+    np.testing.assert_array_equal(np.asarray(attr_img), expect)
+
+
+def test_shade_from_attrs_equals_shade(rng):
+    """render_hands(pallas) == render_hands(scan) with the new
+    shade_from_attrs path — exact, including background alpha=0."""
+    verts = jnp.asarray(rng.randn(2, 778, 3).astype(np.float32) * 0.03)
+    faces = jnp.asarray(rng.randint(0, 778, (2, 1538, 3)).astype(np.int32))
+    trans = jnp.asarray([[0, 0, 1.0], [0, 0, 1.0]], jnp.float32)
+    det = jnp.asarray([True, True])
+    a = render_hands(verts, trans, det, faces, size=128, focal=200.0,
+                     backend="pallas", interpret=True)
+    b = render_hands(verts, trans, det, faces, size=128, focal=200.0,
+                     backend="scan")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
