@@ -111,7 +111,9 @@ class Config:
                                                  # head stacks instead of 8 half-lane 64ch ones
     quantize: str = "none"                       # 'int8': W8A8 backbone+segm convs (2x MXU,
                                                  # APPROXIMATE — calibrated at load; ops/quant.py);
-                                                 # 'int8_pc': per-input-channel activation scales
+                                                 # 'int8_pc': per-input-channel activation scales;
+                                                 # 'int8_r': also quantizes regressor out/fuse convs
+                                                 # (experimental, measured in docs/PERFORMANCE.md)
     jit_translation_solve: bool = True           # closed-form weighted-LS on device (reference: host solvePnPRansac)
     raster_overflow_every: int = 0               # probe binned-raster tile capacity every N rendered
                                                  # frames (0 = off); overflows are logged as warnings
@@ -174,8 +176,8 @@ class Config:
         if self.offset_mode not in ("offset", "replace", "concat"):
             raise ValueError(f"offset_mode must be offset|replace|concat, "
                              f"got {self.offset_mode!r}")
-        if self.quantize not in ("none", "int8", "int8_pc"):
-            raise ValueError(f"quantize must be none|int8|int8_pc, "
+        if self.quantize not in ("none", "int8", "int8_pc", "int8_r"):
+            raise ValueError(f"quantize must be none|int8|int8_pc|int8_r, "
                              f"got {self.quantize!r}")
         if "pred" not in self.attention_mode:
             # 'gt-part' feeds ground-truth part maps into the attention

@@ -65,17 +65,22 @@ class HeadStack(nn.Module):
                                      # merged transition conv (ACRNet)
     quant: str = "none"              # int8 trans/blocks; the 1x1 OUT
                                      # conv (the regressor) stays float
+                                     # unless the mode carries '_r'
+                                     # (measured experiment, see
+                                     # docs/PERFORMANCE.md ledger)
 
     @nn.compact
     def __call__(self, x):
+        from acr_tpu.models.layers import quant_conv
         if not self.pre_transitioned:
             x = ConvBN(self.width, kernel=3, stride=2, use_bias=True,
                        dtype=self.dtype, quant=self.quant, name="trans")(x)
         for k in range(self.num_blocks):
             x = BasicBlock(self.width, dtype=self.dtype, quant=self.quant,
                            name=f"blk{k}")(x)
-        return conv(self.out_ch, 1, pad=0, use_bias=True, dtype=self.dtype,
-                    name="out")(x)
+        out_q = self.quant if self.quant.endswith("_r") else "none"
+        return quant_conv(self, x, self.out_ch, 1, pad=0, use_bias=True,
+                          dtype=self.dtype, name="out", quant=out_q)
 
 
 class LocallyConnected(nn.Module):
@@ -149,7 +154,11 @@ class ACRNet(nn.Module):
                                  # input amax for calibration. The
                                  # regressors (per-head 1x1 out convs,
                                  # fuse convs, LocallyConnected/Dense)
-                                 # and the parser/MANO tail stay float.
+                                 # and the parser/MANO tail stay float;
+                                 # 'int8_r' additionally quantizes the
+                                 # out/fuse regressor convs (measured
+                                 # experiment — docs/PERFORMANCE.md
+                                 # negative-results ledger).
 
     @nn.compact
     def __call__(self, image_uint8: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -270,8 +279,10 @@ class ACRNet(nn.Module):
             pare_map = jnp.concatenate(
                 [params_map[..., :CAM_CH], pare_bcast], axis=-1)     # (B,64,64,109)
             fused_in = jnp.concatenate([params_map, pare_map], axis=-1)
-            return conv(CAM_CH + self.params_ch, 1, pad=0, use_bias=True,
-                        dtype=self.dtype, name=f"{side}_fuse_conv")(fused_in)
+            fuse_q = self.quantize if self.quantize.endswith("_r") else "none"
+            return quant_conv(self, fused_in, CAM_CH + self.params_ch, 1,
+                              pad=0, use_bias=True, dtype=self.dtype,
+                              name=f"{side}_fuse_conv", quant=fuse_q)
 
         l_params = part_refine("l", l_params)
         r_params = part_refine("r", r_params)

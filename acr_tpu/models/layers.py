@@ -68,14 +68,15 @@ def quant_conv(parent: nn.Module, x, features: int, kernel=3, stride=1,
                quant: str = "none"):
     """Conv call site with an optional int8 path (ops/quant.py).
 
-    quant='none': the plain float conv. quant='observe': float conv,
-    but first sow the input per-channel amax into the ``quant_stats``
-    collection (calibration pass; per-tensor consumers reduce with
-    .max()). quant='int8' / 'int8_pc': the W8A8 QuantConv with params
-    {kernel_q, wscale, ascale} under the same module name ('_pc' =
-    per-input-channel activation scales, ops/quant.py).
+    quant='none': the plain float conv. quant='observe' (any variant):
+    float conv, but first sow the input per-channel amax into the
+    ``quant_stats`` collection (calibration pass; per-tensor consumers
+    reduce with .max()). quant='int8' / 'int8_pc' / 'int8_r': the W8A8
+    QuantConv with params {kernel_q, wscale, ascale} under the same
+    module name ('_pc' = per-input-channel activation scales; '_r'
+    additionally routes the regressor call sites here — ops/quant.py).
     """
-    if quant == "observe":
+    if quant.startswith("observe"):
         parent.sow("quant_stats", f"amax_{name}",
                    jnp.max(jnp.abs(x.astype(jnp.float32)),
                            axis=tuple(range(x.ndim - 1))))

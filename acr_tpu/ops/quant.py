@@ -107,12 +107,15 @@ def calibrate_amax(observe_net, params, images) -> Dict:
 
 
 def observe_clone(net):
-    """The same ACRNet with quantize='observe' (float convs + amax sow)."""
+    """The same ACRNet with quantize='observe' (float convs + amax sow).
+    An '_r' mode carries over as 'observe_r' so the regressor call
+    sites sow too and get calibrated scales."""
     from acr_tpu.models.acr import ACRNet
     fields = {f.name: getattr(net, f.name)
               for f in net.__dataclass_fields__.values()
               if f.name not in ("parent", "name")}
-    fields["quantize"] = "observe"
+    fields["quantize"] = "observe" + \
+        ("_r" if net.quantize.endswith("_r") else "")
     return ACRNet(**fields)
 
 

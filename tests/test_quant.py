@@ -135,3 +135,65 @@ def test_pipeline_int8_calibrate(rng):
     out = pipe(meta["image"], meta["offsets"])
     for key in ("verts", "j3d", "cam_trans", "poses", "betas"):
         assert np.isfinite(np.asarray(out[key])).all(), key
+
+
+def test_int8_output_space_error_budget(rng):
+    """Pin the int8 error budget IN OUTPUT SPACE (the space users
+    consume), mirroring tools/quant_accuracy.py: with frame
+    calibration (the production recipe), mean per-vertex displacement
+    stays well under 1% of the hand bbox diagonal and no detection
+    flag flips at the 0.35 threshold. Measured on the
+    reference-architecture parity model on TPU (docs/PERFORMANCE.md
+    "int8 accuracy"): 0.23% mean / 1.19% max, 0 flips."""
+    from acr_tpu.config import Config
+    from acr_tpu.pipeline.infer import ACRPipeline
+    from acr_tpu.pipeline.preprocess import img_preprocess
+
+    img = (rng.rand(1, 64, 64, 3) * 255).astype(np.uint8)
+    params = _damped_params(ACRNet(), img)
+    frames = []
+    for i in range(2):
+        bgr = (rng.rand(200, 300, 3) * 255).astype(np.uint8)
+        frames.append(img_preprocess(bgr, f"f{i}.jpg", input_size=128))
+
+    cfg = dict(input_size=128, mano_model_path=MANO_DIR)
+    fpipe = ACRPipeline(Config(**cfg), params=params)
+    qpipe = ACRPipeline(Config(quantize="int8", **cfg), params=params)
+    qpipe.calibrate([m["image"] for m in frames])
+
+    rels, flips = [], 0
+    for meta in frames:
+        ref = fpipe(meta["image"], meta["offsets"])
+        out = qpipe(meta["image"], meta["offsets"])
+        fv = np.asarray(ref["verts"], np.float64)
+        qv = np.asarray(out["verts"], np.float64)
+        disp = np.linalg.norm(qv - fv, axis=-1)            # (B,2,778)
+        diag = np.linalg.norm(fv.max(-2) - fv.min(-2), axis=-1)
+        rels.append(disp / np.maximum(diag[..., None], 1e-9))
+        flips += int((np.asarray(out["detection_flag"])
+                      != np.asarray(ref["detection_flag"])).sum())
+    rel = np.concatenate([r.ravel() for r in rels])
+    assert rel.mean() < 0.01, rel.mean()       # <1% of bbox diagonal
+    assert flips == 0
+
+
+def test_int8_r_quantizes_regressor_convs(rng):
+    """'int8_r' (experimental): the per-head 1x1 out convs and the
+    fuse convs get W8A8 params too, the net runs, and output maps stay
+    close to float. Measured end-to-end verdict lives in
+    docs/PERFORMANCE.md's quantization ledger."""
+    img = (rng.rand(1, 64, 64, 3) * 255).astype(np.uint8)
+    net = ACRNet()
+    params = _damped_params(net, img)
+    ref = net.apply(params, jnp.asarray(img))
+    stats = calibrate_amax(ACRNet(quantize="observe_r"), params, [img])
+    q = quantize_tree_int8(params, stats)
+    out_site = q["params"]["l_params_head"]["out"]
+    assert "kernel_q" in out_site and out_site["kernel_q"].dtype == jnp.int8
+    assert "kernel_q" in q["params"]["l_fuse_conv"]
+    out = ACRNet(quantize="int8_r").apply(q, jnp.asarray(img))
+    for k in ref:
+        a = np.asarray(ref[k], np.float32).ravel()
+        b = np.asarray(out[k], np.float32).ravel()
+        rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
+        assert rel < 0.10 and np.isfinite(b).all(), (k, rel)
