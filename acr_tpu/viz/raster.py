@@ -323,29 +323,34 @@ def render_hands(verts: jnp.ndarray,
             face_colors.T,
             jnp.zeros((N_ATTR - 12, f_total), jnp.float32)], axis=0)
         # bbox-binned per-tile face lists: O(pixels x faces/tile)
-        # instead of O(pixels x faces). At high resolution each 8x256px
-        # tile intersects a smaller slice of the mesh, so a smaller
-        # capacity holds (and halves the kernel's chunk count).
+        # instead of O(pixels x faces), with ADAPTIVE capacity: the
+        # kernel's cost is linear in the bin capacity (measured 1.45 /
+        # 2.80 / 4.98 ms at cap 128/256/512, 512px), and the prestage
+        # probe already knows this frame's true max bbox-overlap count
+        # (203 for the template two-hand scene), so a lax.switch picks
+        # the smallest sufficient capacity tier — each tier its own
+        # precompiled static-shape kernel. Exactness guarantee: a tile
+        # count above the largest tier (extreme close-ups / degenerate
+        # cameras — observed live via the overflow probe) selects the
+        # flat kernel for THIS frame instead of silently dropping
+        # faces; only the taken branch executes.
         cap = bin_cap_for(size)
-        if f_total > cap:
-            # exactness guarantee: when any tile's bbox-overlap count
-            # exceeds the bin capacity (extreme close-ups / degenerate
-            # cameras — observed live via the overflow probe), fall
-            # back to the flat kernel for THIS frame instead of
-            # silently dropping faces. lax.cond executes only the
-            # taken branch, so the common case stays at binned speed.
-            _, n_over = bin_overflow_stats(screen, all_faces, size, size,
-                                           cap=cap)
-            out = jax.lax.cond(
-                n_over > 0,
+        tiers = [c for c in (128, 256, 512) if c <= cap and c < f_total]
+        if tiers:
+            mx, _ = bin_overflow_stats(screen, all_faces, size, size,
+                                       cap=cap)
+            idx = sum((mx > c).astype(jnp.int32) for c in tiers)
+
+            def make_binned(c):
+                return lambda s, f: rasterize_pallas_binned(
+                    s, f, size, size, bin_cap=c, interpret=interpret,
+                    attrs=attrs)
+
+            branches = [make_binned(c) for c in tiers] + [
                 lambda s, f: rasterize_pallas(s, f, size, size,
                                               interpret=interpret,
-                                              attrs=attrs),
-                lambda s, f: rasterize_pallas_binned(s, f, size, size,
-                                                     bin_cap=cap,
-                                                     interpret=interpret,
-                                                     attrs=attrs),
-                screen, all_faces)
+                                              attrs=attrs)]
+            out = jax.lax.switch(idx, branches, screen, all_faces)
         else:
             out = rasterize_pallas(screen, all_faces, size, size,
                                    interpret=interpret, attrs=attrs)

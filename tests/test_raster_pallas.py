@@ -292,3 +292,31 @@ def test_shade_from_attrs_equals_shade(rng):
     b = render_hands(verts, trans, det, faces, size=128, focal=200.0,
                      backend="scan")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_adaptive_capacity_tier_matches_scan(rng):
+    """A sparse scene (low max tile overlap) rides a SMALL capacity
+    tier through the lax.switch in render_hands; output must still be
+    exactly the scan render. (Dense scenes covering the flat tier are
+    tested in test_render_hands_overflow_falls_back_exact.)"""
+    from acr_tpu.viz.raster import render_hands, render_overflow_probe
+    half = 0.02
+    quad = np.array([[-half, -half, 0], [half, -half, 0],
+                     [half, half, 0], [-half, half, 0]], np.float32)
+    # two tiny quads far apart -> few faces per tile
+    verts = jnp.asarray(np.stack([quad + [-0.15, 0, 0], quad + [0.15, 0, 0]]))
+    faces_quad = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    # pad the face list so f_total exceeds the smallest tier and the
+    # binned path (not the small-mesh flat shortcut) is taken
+    faces = jnp.asarray(np.tile(np.concatenate(
+        [faces_quad, np.zeros((158, 3), np.int32)]), (2, 1, 1)))
+    trans = jnp.asarray([[0, 0, 1.0], [0, 0, 1.0]], jnp.float32)
+    det = jnp.asarray([True, True])
+    mx, n_over = render_overflow_probe(verts, trans, det, faces, size=256,
+                                       focal=400.0)
+    assert 0 < int(mx) <= 128          # scene really selects tier 0
+    a = render_hands(verts, trans, det, faces, size=256, focal=400.0,
+                     backend="pallas", interpret=True)
+    b = render_hands(verts, trans, det, faces, size=256, focal=400.0,
+                     backend="scan")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
