@@ -112,7 +112,8 @@ class Config:
     quantize: str = "none"                       # 'int8': W8A8 backbone+segm convs (2x MXU,
                                                  # APPROXIMATE — calibrated at load; ops/quant.py);
                                                  # 'int8_pc': per-input-channel activation scales;
-                                                 # 'int8_r': also quantizes regressor out/fuse convs
+                                                 # 'int8_r': also quantizes regressor out/fuse convs;
+                                                 # 'int4w': int4 weight grid on the int8 conv (W4A8)
                                                  # (experimental, measured in docs/PERFORMANCE.md)
     jit_translation_solve: bool = True           # closed-form weighted-LS on device (reference: host solvePnPRansac)
     raster_overflow_every: int = 0               # probe binned-raster tile capacity every N rendered
@@ -176,8 +177,10 @@ class Config:
         if self.offset_mode not in ("offset", "replace", "concat"):
             raise ValueError(f"offset_mode must be offset|replace|concat, "
                              f"got {self.offset_mode!r}")
-        if self.quantize not in ("none", "int8", "int8_pc", "int8_r"):
-            raise ValueError(f"quantize must be none|int8|int8_pc|int8_r, "
+        if self.quantize not in ("none", "int8", "int8_pc", "int8_r",
+                                 "int4w"):
+            raise ValueError(f"quantize must be "
+                             f"none|int8|int8_pc|int8_r|int4w, "
                              f"got {self.quantize!r}")
         if "pred" not in self.attention_mode:
             # 'gt-part' feeds ground-truth part maps into the attention

@@ -71,16 +71,17 @@ def quant_conv(parent: nn.Module, x, features: int, kernel=3, stride=1,
     quant='none': the plain float conv. quant='observe' (any variant):
     float conv, but first sow the input per-channel amax into the
     ``quant_stats`` collection (calibration pass; per-tensor consumers
-    reduce with .max()). quant='int8' / 'int8_pc' / 'int8_r': the W8A8
+    reduce with .max()). quant='int8'/'int8_pc'/'int8_r'/'int4w': the
     QuantConv with params {kernel_q, wscale, ascale} under the same
     module name ('_pc' = per-input-channel activation scales; '_r'
-    additionally routes the regressor call sites here — ops/quant.py).
+    additionally routes the regressor call sites here; 'int4w' = int4
+    weight grid riding the same int8 conv — ops/quant.py).
     """
     if quant.startswith("observe"):
         parent.sow("quant_stats", f"amax_{name}",
                    jnp.max(jnp.abs(x.astype(jnp.float32)),
                            axis=tuple(range(x.ndim - 1))))
-    if quant.startswith("int8"):
+    if quant.startswith(("int8", "int4")):
         from acr_tpu.ops.quant import QuantConv
         return QuantConv(features, kernel=kernel, stride=stride, pad=pad,
                          padding=padding, use_bias=use_bias, dtype=dtype,

@@ -131,22 +131,28 @@ def default_calibration_frames(input_size: int):
 
 def quantize_for_net(net, params: Dict, images=None,
                      input_size: int = 512,
-                     per_channel: bool = False) -> Dict:
+                     per_channel: bool = False,
+                     weight_bits: int = 8) -> Dict:
     """One-call W8A8 quantization for an ACRNet: build the observe
     clone, calibrate activation scales over ``images`` (default:
     ``default_calibration_frames``), quantize weights. The single
     entry point shared by ACRPipeline.calibrate and the bench/profile
     builders, so the calibration recipe cannot diverge between the
-    serving and benchmarking paths."""
+    serving and benchmarking paths. ``weight_bits=4`` is the W4A8
+    experiment ('int4w'): weights snap to 15 levels but still ride the
+    int8 conv (values in [-7,7]), so it is exactly as fast as 'int8' —
+    measured verdict in docs/PERFORMANCE.md's quantization ledger."""
     if images is None:
         images = default_calibration_frames(input_size)
     stats = calibrate_amax(observe_clone(net), params, images)
-    return quantize_tree_int8(params, stats, per_channel=per_channel)
+    return quantize_tree_int8(params, stats, per_channel=per_channel,
+                              weight_bits=weight_bits)
 
 
 def quantize_tree_int8(params: Dict, stats: Dict,
                        margin: float = 1.0,
-                       per_channel: bool = False) -> Dict:
+                       per_channel: bool = False,
+                       weight_bits: int = 8) -> Dict:
     """Float (post-s2d) param tree + observe-run amax stats -> int8 tree.
 
     Every conv site the observe run touched (key ``amax_<conv_name>``
@@ -160,8 +166,12 @@ def quantize_tree_int8(params: Dict, stats: Dict,
     calibrated amax is far below the site's per-tensor amax are floored
     at 1e-4 of it, bounding the scale disparity so a dead-at-
     calibration channel cannot blow up on real inputs.
+
+    ``weight_bits`` sets the weight grid: 8 -> [-127,127] (default),
+    4 -> [-7,7] ('int4w', W4A8). Activations are int8 either way.
     """
     import copy
+    qmax = float((1 << (weight_bits - 1)) - 1)
     params = copy.deepcopy(jax.tree.map(np.asarray, params))
     top = params.get("params", params)
 
@@ -185,9 +195,9 @@ def quantize_tree_int8(params: Dict, stats: Dict,
                     sub["ascale"] = np.float32(127.0 / amax_t)
                 wmax = np.maximum(np.abs(k).reshape(-1, k.shape[-1]).max(0),
                                   1e-12)
-                ws = (wmax / 127.0).astype(np.float32)
+                ws = (wmax / qmax).astype(np.float32)
                 sub["kernel_q"] = np.clip(
-                    np.round(k / ws), -127, 127).astype(np.int8)
+                    np.round(k / ws), -qmax, qmax).astype(np.int8)
                 sub["wscale"] = ws
             else:
                 walk(ptree[key], val)

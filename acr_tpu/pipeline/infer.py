@@ -197,7 +197,7 @@ class ACRPipeline:
         tree = self.params.get("params", {})
         if "parser" in tree:
             self.merge_params = tree.pop("parser").get("fusion_fc")
-        if cfg.quantize.startswith("int8"):
+        if cfg.quantize.startswith(("int8", "int4")):
             # W8A8 backbone+segm (ops/quant.py): default calibration on
             # synthetic frames at load; call .calibrate(real_frames)
             # before serving for production-quality activation scales
@@ -319,8 +319,8 @@ class ACRPipeline:
         pass a handful of real frames before serving for tighter
         scales (ops/quant.py).
         """
-        assert self.cfg.quantize.startswith("int8"), \
-            "calibrate() needs quantize=int8|int8_pc"
+        assert self.cfg.quantize.startswith(("int8", "int4")), \
+            "calibrate() needs quantize=int8|int8_pc|int8_r|int4w"
         if images is None:
             # make the implicit fallback visible to operators: serving
             # with synthetic-frame scales clips real activations outside
@@ -335,4 +335,5 @@ class ACRPipeline:
         self.params = quantize_for_net(
             self.net, self._float_params, images=images,
             input_size=self.cfg.input_size,
-            per_channel=self.cfg.quantize.endswith("_pc"))
+            per_channel=self.cfg.quantize.endswith("_pc"),
+            weight_bits=4 if self.cfg.quantize == "int4w" else 8)

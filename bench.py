@@ -84,7 +84,7 @@ def _measure(precision: str, batch: int, iters: int,
     }
 
 
-def _measure_stream_b1(iters: int, reps: int):
+def _measure_stream_b1(iters: int, reps: int, precision: str = "fp32"):
     """Fused webcam stream step at batch 1: forward + OneEuro + refine
     + on-device render, ONE dispatch per frame (pipeline/app). Times
     ``iters`` chained async dispatches ended by one packed readback
@@ -108,7 +108,7 @@ def _measure_stream_b1(iters: int, reps: int):
     cfg = Config(input_size=512, mano_model_path=ge.MANO_DIR,
                  model_path=ge.CKPT, demo_mode="webcam",
                  temporal_optimization=True, renderer="tpu",
-                 render_size=512)
+                 render_size=512, model_precision=precision)
     app = ACRApp(cfg)
     pl = app.pipeline
 
@@ -180,11 +180,14 @@ def _measure_stream_b1(iters: int, reps: int):
         dt = max(time.perf_counter() - t0 - readback_s, 1e-9)
         per_rep_ms.append(dt * 1e3 / iters)
     per_rep_ms.sort()
+    tag = "" if precision == "fp32" else f"_{precision}"
     return {
-        "stream_step_ms_b1": round(float(np.median(per_rep_ms)), 3),
-        "stream_step_ms_b1_p50": round(float(np.percentile(per_rep_ms, 50)), 3),
-        "stream_step_ms_b1_p90": round(float(np.percentile(per_rep_ms, 90)), 3),
-        "stream_readback_ms": round(readback_s * 1e3, 1),
+        f"stream_step_ms_b1{tag}": round(float(np.median(per_rep_ms)), 3),
+        f"stream_step_ms_b1{tag}_p50":
+            round(float(np.percentile(per_rep_ms, 50)), 3),
+        f"stream_step_ms_b1{tag}_p90":
+            round(float(np.percentile(per_rep_ms, 90)), 3),
+        f"stream_readback_ms{tag}": round(readback_s * 1e3, 1),
     }
 
 
@@ -238,8 +241,11 @@ def main():
         }
         try:
             # the BASELINE.md webcam-latency target: fused b1 stream
-            # step (forward + OneEuro + refine + render)
+            # step (forward + OneEuro + refine + render), at the fp32
+            # demo default and the recommended bf16 serving precision
             extra.update(_measure_stream_b1(iters, reps))
+            extra.update(_measure_stream_b1(iters, reps,
+                                            precision="bf16"))
         except Exception as e:
             extra["stream_step_ms_b1"] = f"skipped: {type(e).__name__}"
         try:

@@ -177,6 +177,31 @@ def test_int8_output_space_error_budget(rng):
     assert flips == 0
 
 
+def test_int4w_weight_grid_and_runs(rng):
+    """'int4w' (experimental W4A8): weights snap to the [-7,7] grid but
+    ride the same int8 conv, so the program is structurally identical
+    to 'int8' (same speed by construction). The machinery works and
+    output maps stay correlated with float; the end-to-end accuracy
+    verdict lives in docs/PERFORMANCE.md's quantization ledger."""
+    img = (rng.rand(1, 64, 64, 3) * 255).astype(np.uint8)
+    net = ACRNet()
+    params = _damped_params(net, img)
+    ref = net.apply(params, jnp.asarray(img))
+    stats = calibrate_amax(ACRNet(quantize="observe"), params, [img])
+    q = quantize_tree_int8(params, stats, weight_bits=4)
+    stem = q["params"]["backbone"]["stem1"]["conv"]
+    assert stem["kernel_q"].dtype == jnp.int8
+    assert int(np.abs(np.asarray(stem["kernel_q"])).max()) <= 7
+    # per-output-channel scale hits the grid edge somewhere
+    assert int(np.abs(np.asarray(stem["kernel_q"])).max()) == 7
+    out = ACRNet(quantize="int4w").apply(q, jnp.asarray(img))
+    for k in ref:
+        a = np.asarray(ref[k], np.float32).ravel()
+        b = np.asarray(out[k], np.float32).ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.95 and np.isfinite(b).all(), (k, corr)
+
+
 def test_int8_r_quantizes_regressor_convs(rng):
     """'int8_r' (experimental): the per-head 1x1 out convs and the
     fuse convs get W8A8 params too, the net runs, and output maps stay
