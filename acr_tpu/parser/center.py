@@ -53,7 +53,7 @@ def decode_centers(center_map: jnp.ndarray, k: int = 1,
     at training time (reference: acr/result_parser.py:221-224).
     """
     b, h, w = center_map.shape[:3]
-    nmsed = nms_heatmap(center_map)[..., 0].reshape(b, h * w)
+    nmsed = nms_heatmap(center_map, nms_kernel)[..., 0].reshape(b, h * w)
     scores, inds = jax.lax.top_k(nmsed, k)
     ys = (inds // w).astype(jnp.float32)
     xs = (inds % w).astype(jnp.float32)
