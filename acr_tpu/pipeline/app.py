@@ -482,6 +482,16 @@ class ACRApp:
                  and self.cfg.jit_translation_solve
                  and not need_maps
                  and (self.visualizer is None or self.cfg.renderer == "tpu"))
+        if not fused:
+            # make the FPS cliff diagnosable from output: the per-stage
+            # path pays 4-5 relay dispatches per chunk instead of one
+            why = ("data_parallel mesh" if self._jit_chunk_step is None
+                   else "host translation solve"
+                   if not self.cfg.jit_translation_solve
+                   else "centermap aux view needs per-stage maps"
+                   if need_maps else f"renderer={self.cfg.renderer}")
+            log.info("fused chunk step bypassed (%s); using the "
+                     "per-stage path", why)
         seq = None
         if not fused and self.cfg.temporal_optimization:
             seq = jax.jit(lambda st, p, b, d: smooth_sequence(

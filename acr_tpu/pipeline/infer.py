@@ -197,6 +197,18 @@ class ACRPipeline:
         tree = self.params.get("params", {})
         if "parser" in tree:
             self.merge_params = tree.pop("parser").get("fusion_fc")
+        if cfg.model_precision == "bf16" and cfg.quantize == "none":
+            # store weights PRE-CAST to bf16: the bf16 compute path
+            # casts fp32 masters on every step anyway (flax dtype
+            # promotion), so fp32 storage makes each step read 2x the
+            # weight bytes from HBM plus a cast — measured as the bf16
+            # b1 stream step landing SLOWER than fp32 (BENCH_r03,
+            # docs/PERFORMANCE.md). Values are bit-identical to the
+            # in-graph cast (same round-to-nearest-even).
+            self.params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if getattr(x, "dtype", None) == jnp.float32 else x,
+                self.params)
         if cfg.quantize.startswith(("int8", "int4")):
             # W8A8 backbone+segm (ops/quant.py): default calibration on
             # synthetic frames at load; call .calibrate(real_frames)

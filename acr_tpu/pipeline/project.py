@@ -54,8 +54,12 @@ def _translation_ls_single(j3d: jnp.ndarray, pj2d_px: jnp.ndarray,
     Per joint the pinhole model gives two linear equations in t:
       f*tx + (cx - u)*tz = (u - cx)*Z - f*X
       f*ty + (cy - v)*tz = (v - cy)*Z - f*Y
-    Solved via 3x3 normal equations (all confidences are 1 for
-    model-generated joints — reference: utils.py:487-491).
+    Solved via QR, not normal equations: the reference solves the
+    normal equations in float64 (utils.py:461-472), but squaring the
+    condition number in fp32 drifts the far-hand tz by ~1e-2..1e-1
+    (measured on the composed-chain harness); fp32 QR stays within
+    ~1e-4 of the fp64 solve. All confidences are 1 for model-generated
+    joints (reference: utils.py:487-491).
     """
     n = j3d.shape[0]
     f = jnp.float32(focal)
@@ -70,9 +74,8 @@ def _translation_ls_single(j3d: jnp.ndarray, pj2d_px: jnp.ndarray,
     q = jnp.concatenate([rows_u, rows_v], axis=0)              # (2N, 3)
     c = jnp.concatenate([(u - cx) * j3d[:, 2] - f * j3d[:, 0],
                          (v - cy) * j3d[:, 2] - f * j3d[:, 1]])
-    a = q.T @ q
-    b = q.T @ c
-    return jnp.linalg.solve(a, b)
+    q_fac, r_fac = jnp.linalg.qr(q)
+    return jax.scipy.linalg.solve_triangular(r_fac, q_fac.T @ c)
 
 
 def estimate_translation_ls(j3d: jnp.ndarray, pj2d_px: jnp.ndarray,

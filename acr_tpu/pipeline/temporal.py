@@ -8,10 +8,20 @@ is an explicit pytree of device arrays, so smoothing (a) stays on
 device in the streaming path and (b) threads through ``lax.scan`` for
 offline video batches.
 
-Semantics match the reference exactly:
+Semantics match the reference exactly — including one subtle aliasing
+behavior of its app loop:
 * the global orientation is smoothed in rotation-matrix space and
   converted back to axis-angle (utils.py:1466-1470);
-* articulation (45) and betas (10) are smoothed directly;
+* articulation (45) and betas (10) are smoothed directly — with the
+  derivative taken against the previous *output*, not the previous raw
+  input: the reference filter stores ``prev_raw_value`` as a torch VIEW
+  into the params tensor (utils.py:1496,1527 via main.py:78-83), and
+  the app then assigns the smoothed values back into that same storage,
+  so from the third frame on its dx is ``(x_t - y_{t-1}) * freq``
+  (``dx_from_output=True`` here; verified against the running reference
+  in tests/test_reference_model_parity.py and the composed-chain
+  harness). The orient filter is NOT aliased — it stores a freshly
+  computed rotation matrix — so it keeps the textbook raw-dx form;
 * coefficients: poses/orient (mincutoff=smooth_coeff, beta=0.7),
   betas (0.6, 0.7); dcutoff 1.0; freq 30 (utils.py:1472-1473);
 * an undetected hand leaves its filter state untouched.
@@ -48,11 +58,19 @@ def _alpha(cutoff, freq):
 
 
 def oneeuro_step(state: ChannelState, x: jnp.ndarray, mincutoff: float,
-                 beta: float, dcutoff: float = 1.0, freq: float = 30.0
+                 beta: float, dcutoff: float = 1.0, freq: float = 30.0,
+                 dx_from_output: bool = False
                  ) -> Tuple[ChannelState, jnp.ndarray]:
-    """One filter update (vectorized over the tensor)."""
+    """One filter update (vectorized over the tensor).
+
+    ``dx_from_output=True`` reproduces the reference app's aliased
+    articulation/betas channels (see module docstring): the derivative
+    base is the previous smoothed output instead of the previous raw
+    input. Identical through the first two calls (y_1 == x_1).
+    """
     first = ~state.initialized
-    dx = jnp.where(first, 0.0, (x - state.x_prev) * freq)
+    base = state.y_prev if dx_from_output else state.x_prev
+    dx = jnp.where(first, 0.0, (x - base) * freq)
     # derivative low-pass: first call passes dx straight through
     a_d = _alpha(dcutoff, freq)
     edx = jnp.where(first, dx, a_d * dx + (1.0 - a_d) * state.dy_prev)
@@ -82,8 +100,10 @@ def smooth_hand(state: HandFilterState, poses48: jnp.ndarray,
     rot = axis_angle_to_rotmat(poses48[:3])
     s_orient, rot_s = oneeuro_step(state.orient, rot, smooth_coeff, 0.7)
     orient_s = rotmat_to_axis_angle(rot_s[None])[0]
-    s_pose, pose_s = oneeuro_step(state.pose, poses48[3:], smooth_coeff, 0.7)
-    s_betas, betas_s = oneeuro_step(state.betas, betas10, 0.6, 0.7)
+    s_pose, pose_s = oneeuro_step(state.pose, poses48[3:], smooth_coeff, 0.7,
+                                  dx_from_output=True)
+    s_betas, betas_s = oneeuro_step(state.betas, betas10, 0.6, 0.7,
+                                    dx_from_output=True)
 
     new_state = HandFilterState(s_orient, s_pose, s_betas)
     keep = lambda new, old: jax.tree.map(

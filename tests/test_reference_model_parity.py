@@ -335,7 +335,13 @@ def test_mano_layer_parity_vs_reference(ref_model, rng, tmp_path):
 
 def test_oneeuro_parity_vs_reference(ref_model, rng):
     """Functional OneEuro vs the reference's stateful filter classes,
-    including the rotation-matrix-space global-orient smoothing."""
+    driven the way the reference APP drives them: the smoothed values
+    are assigned back into the same tensor row the filter stored as its
+    ``prev_raw_value`` view (acr/main.py:78-83), so from the third
+    frame on the articulation/betas derivative is taken against the
+    previous OUTPUT (the aliasing our ``dx_from_output=True`` channels
+    reproduce — pipeline/temporal.py module docstring). The orient
+    filter stores a fresh matrix and stays textbook."""
     import torch
     import jax.numpy as jnp
     from acr.utils import create_OneEuroFilter, smooth_results
@@ -347,9 +353,13 @@ def test_oneeuro_parity_vs_reference(ref_model, rng):
     for step in range(6):
         poses = (rng.randn(48) * 0.3).astype(np.float32)
         betas = (rng.randn(10) * 0.5).astype(np.float32)
-        want_p, want_b = smooth_results(filters,
-                                        torch.from_numpy(poses.copy()),
-                                        torch.from_numpy(betas.copy()))
+        # app-style: one shared storage per frame, smoothed row assigned
+        # back (poses_t[0] is the view smooth_results' filters capture)
+        poses_t = torch.from_numpy(poses.copy())[None]
+        betas_t = torch.from_numpy(betas.copy())[None]
+        poses_t[0], betas_t[0] = smooth_results(filters, poses_t[0],
+                                                betas_t[0])
+        want_p, want_b = poses_t[0], betas_t[0]
         state, got_p, got_b = smooth_hand(state, jnp.asarray(poses),
                                           jnp.asarray(betas), detected, 4.0)
         np.testing.assert_allclose(np.asarray(got_b), want_b.numpy(),

@@ -52,6 +52,26 @@ def test_oneeuro_matches_numpy(rng):
         np.testing.assert_allclose(np.asarray(y), ref(x), atol=1e-5)
 
 
+def test_oneeuro_dx_from_output_matches_numpy(rng):
+    """The aliased articulation/betas channel (dx against the previous
+    OUTPUT — the reference app's view-aliasing semantics, see
+    pipeline/temporal.py docstring) vs a numpy transcription."""
+    ref = NumpyOneEuro(4.0, 0.7)
+    state = init_channel((6,))
+    xs = rng.randn(20, 6).astype(np.float32)
+    for i, x in enumerate(xs):
+        state, y = oneeuro_step(state, jnp.asarray(x), 4.0, 0.7,
+                                dx_from_output=True)
+        want = ref(x)
+        ref.x_prev = ref.y_prev          # the app's assign-back aliasing
+        np.testing.assert_allclose(np.asarray(y), want, atol=1e-5,
+                                   err_msg=f"step {i}")
+    # sanity: diverges from the raw-dx filter once history matters
+    ref2 = NumpyOneEuro(4.0, 0.7)
+    clean = [ref2(x) for x in xs]
+    assert not np.allclose(clean[-1], np.asarray(y), atol=1e-4)
+
+
 def test_oneeuro_smooths_noise(rng):
     state = init_channel(())
     t = np.linspace(0, 2 * np.pi, 120)
