@@ -504,14 +504,11 @@ class ACRApp:
                 frame = np.zeros((64, 64, 3), np.uint8)
             return frame
 
-        results: Dict = {}
-        total = len(file_list)
-        for i in range(0, total, bs):
-            batch_paths = file_list[i:i + bs]
+        def prep_chunk(batch_paths):
+            t0 = time.perf_counter()
             frames = [read_frame(p) for p in batch_paths]
-            with self.timer.stage("preprocess"):
-                metas = [img_preprocess(f, p, input_size=self.cfg.input_size)
-                         for f, p in zip(frames, batch_paths)]
+            metas = [img_preprocess(f, p, input_size=self.cfg.input_size)
+                     for f, p in zip(frames, batch_paths)]
             img_c = np.concatenate([m["image"] for m in metas])
             off_c = np.concatenate([m["offsets"] for m in metas])
             pad = bs - len(img_c)
@@ -520,6 +517,38 @@ class ACRApp:
                     [img_c, np.repeat(img_c[-1:], pad, axis=0)])
                 off_c = np.concatenate(
                     [off_c, np.repeat(off_c[-1:], pad, axis=0)])
+            prep_ms = (time.perf_counter() - t0) * 1e3
+            return batch_paths, frames, metas, img_c, off_c, pad, prep_ms
+
+        # decode/preprocess the NEXT chunk on a producer thread while
+        # the device runs the current one: the chunk prep (cv2.imread +
+        # cubic resize) is host-bound and otherwise serializes with
+        # device compute + the relay readback stall (SURVEY.md §7 step 8
+        # double-buffering, applied to the batched path)
+        import queue
+        import threading
+        chunk_q: "queue.Queue" = queue.Queue(maxsize=1)
+
+        def producer():
+            try:
+                for i in range(0, len(file_list), bs):
+                    chunk_q.put(("ok", prep_chunk(file_list[i:i + bs])))
+            except BaseException as exc:          # surface in the consumer
+                chunk_q.put(("error", exc))
+            chunk_q.put(("done", None))
+
+        threading.Thread(target=producer, daemon=True,
+                         name="acr-chunk-prefetch").start()
+
+        results: Dict = {}
+        while True:
+            kind, payload = chunk_q.get()
+            if kind == "done":
+                break
+            if kind == "error":
+                raise payload
+            batch_paths, frames, metas, img_c, off_c, pad, prep_ms = payload
+            self.timer.add("preprocess", prep_ms)
             with self.timer.stage("device_step"):
                 if fused:
                     img_c = img_c.reshape(img_c.shape[0],

@@ -54,12 +54,15 @@ def _translation_ls_single(j3d: jnp.ndarray, pj2d_px: jnp.ndarray,
     Per joint the pinhole model gives two linear equations in t:
       f*tx + (cx - u)*tz = (u - cx)*Z - f*X
       f*ty + (cy - v)*tz = (v - cy)*Z - f*Y
-    Solved via QR, not normal equations: the reference solves the
-    normal equations in float64 (utils.py:461-472), but squaring the
-    condition number in fp32 drifts the far-hand tz by ~1e-2..1e-1
-    (measured on the composed-chain harness); fp32 QR stays within
-    ~1e-4 of the fp64 solve. All confidences are 1 for model-generated
-    joints (reference: utils.py:487-491).
+    Solved via orthogonalization, not normal equations: the reference
+    solves the normal equations in float64 (utils.py:461-472), but
+    squaring the condition number in fp32 drifts the far-hand tz by
+    ~1e-2..1e-1 (measured on the composed-chain harness). A 3-column
+    reorthogonalized Gram-Schmidt + back substitution stays within
+    ~1e-5 of the fp64 solve (measured over 50 random weak-persp
+    geometries) and is pure fused vector ops — no XLA QR/while-loop
+    kernel on TPU. All confidences are 1 for model-generated joints
+    (reference: utils.py:487-491).
     """
     n = j3d.shape[0]
     f = jnp.float32(focal)
@@ -74,8 +77,38 @@ def _translation_ls_single(j3d: jnp.ndarray, pj2d_px: jnp.ndarray,
     q = jnp.concatenate([rows_u, rows_v], axis=0)              # (2N, 3)
     c = jnp.concatenate([(u - cx) * j3d[:, 2] - f * j3d[:, 0],
                          (v - cy) * j3d[:, 2] - f * j3d[:, 1]])
-    q_fac, r_fac = jnp.linalg.qr(q)
-    return jax.scipy.linalg.solve_triangular(r_fac, q_fac.T @ c)
+    return _lstsq_gs3(q, c)
+
+
+def _lstsq_gs3(q: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Least squares for (N, 3) q, (N,) c via reorthogonalized
+    Gram-Schmidt (CGS2) on the 3 columns + back substitution."""
+    q0, q1, q2 = q[:, 0], q[:, 1], q[:, 2]
+    r00 = jnp.linalg.norm(q0)
+    e0 = q0 / r00
+    r01 = e0 @ q1
+    v1 = q1 - r01 * e0
+    s = e0 @ v1                       # second orthogonalization pass
+    r01 = r01 + s
+    v1 = v1 - s * e0
+    r11 = jnp.linalg.norm(v1)
+    e1 = v1 / r11
+    r02 = e0 @ q2
+    v2 = q2 - r02 * e0
+    r12 = e1 @ v2
+    v2 = v2 - r12 * e1
+    s0 = e0 @ v2
+    r02 = r02 + s0
+    v2 = v2 - s0 * e0
+    s1 = e1 @ v2
+    r12 = r12 + s1
+    v2 = v2 - s1 * e1
+    r22 = jnp.linalg.norm(v2)
+    e2 = v2 / r22
+    t2 = (e2 @ c) / r22
+    t1 = (e1 @ c - r12 * t2) / r11
+    t0 = (e0 @ c - r01 * t1 - r02 * t2) / r00
+    return jnp.stack([t0, t1, t2])
 
 
 def estimate_translation_ls(j3d: jnp.ndarray, pj2d_px: jnp.ndarray,

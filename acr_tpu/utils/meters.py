@@ -77,6 +77,11 @@ class StageTimer:
     def stage(self, name: str) -> "StageTimer._Ctx":
         return StageTimer._Ctx(self, name)
 
+    def add(self, name: str, ms: float):
+        """Record an externally-timed duration (e.g. measured on a
+        prefetch thread) under ``name``."""
+        self.meters.update({name: ms})
+
     def report(self) -> Dict[str, Dict[str, float]]:
         return {name: {"avg_ms": m.avg, "last_ms": m.val, "count": m.count}
                 for name, m in self.meters.meters.items()}

@@ -51,6 +51,33 @@ def test_translation_solve_batched_shapes(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_translation_solve_fp32_matches_fp64(rng):
+    """The fp32 Gram-Schmidt solve must track the reference's fp64
+    normal-equation solve on ILL-CONDITIONED weak-persp geometry (small
+    camera scale -> far hand, non-pinhole residuals). fp32 normal
+    equations drift up to ~5e-2 here (measured — the round-4
+    composed-chain harness caught 1.45e-1 on magic.jpg); the
+    orthogonalized solve stays ~1e-5 (pipeline/project.py docstring)."""
+    f, cx, cy = 1265.0, 256.0, 256.0
+    worst = 0.0
+    for _ in range(25):
+        j3d = rng.randn(21, 3) * 0.08
+        s, tx, ty = 0.05 + rng.rand() * 0.5, rng.randn() * 0.5, rng.randn() * 0.5
+        uv = ((j3d[:, :2] * s + [tx, ty]) + 1.0) * 256.0 \
+            + rng.randn(21, 2) * 2
+        zeros, fc = np.zeros(21), np.full(21, f)
+        q = np.concatenate([np.stack([fc, zeros, cx - uv[:, 0]], 1),
+                            np.stack([zeros, fc, cy - uv[:, 1]], 1)])
+        c = np.concatenate([(uv[:, 0] - cx) * j3d[:, 2] - f * j3d[:, 0],
+                            (uv[:, 1] - cy) * j3d[:, 2] - f * j3d[:, 1]])
+        want = np.linalg.solve(q.T @ q, q.T @ c)        # fp64 reference
+        got = np.asarray(estimate_translation_ls(
+            jnp.asarray(j3d[None], jnp.float32),
+            jnp.asarray(uv[None], jnp.float32), focal=f))[0]
+        worst = max(worst, np.abs(got - want).max())
+    assert worst < 5e-4, f"fp32 solve drifted {worst:.2e} from fp64"
+
+
 def test_kp2d_to_org_image():
     # padded image 100x100, pad left 20 -> x=-1 maps to -20 in cropped coords
     offsets = jnp.asarray([[100, 100, 0, 0, 0, 0, 0, 0, 0, 20]], jnp.float32)
