@@ -36,10 +36,25 @@ BIN_CAP = 512         # default per-tile face capacity for the binned kernel
 
 
 def bin_cap_for(size: int) -> int:
-    """Per-tile face capacity by render size: at high resolution each
-    8-row tile intersects a smaller slice of the mesh, so half the
-    capacity holds (and halves the kernel's chunk count)."""
-    return BIN_CAP if size <= 1024 else BIN_CAP // 2
+    """Largest per-tile face capacity tier available at this render
+    size — BIN_CAP at every size. This used to halve above 1024px on
+    the assumption that high-res tiles intersect a smaller slice of
+    the mesh, but that is empirically false for close-ups: the bench
+    realistic two-hand scene measures max 377 bbox-overlap faces/tile
+    at 512, 1024 AND 2048 px (face bboxes grow with resolution as fast
+    as the per-tile mesh slice shrinks), so the halved cap pushed
+    every 2048px frame off the binned tiers onto the ~277 ms flat
+    fallback (measured: fused 2048px stream step 331.8 -> 68.4 ms p50,
+    together with the dynamic per-tile chunk bound and the iota
+    slot-live mask below). The ADAPTIVE tier switch in render_hands already picks
+    the smallest sufficient capacity per frame, so sparse high-res
+    frames still ride tier 128/256; shrinking the tier LIST only
+    removed the exact middle ground between tier 256 and the flat
+    kernel. Per-tile kernel shapes are size-independent ((16, cap)
+    face rows, (8, col_tile) buffers), so cap 512 is VMEM-safe at any
+    resolution."""
+    del size
+    return BIN_CAP
 
 
 N_ATTR = 16           # per-face attribute rows picked in-kernel (see below)
@@ -172,10 +187,20 @@ def _raster_kernel(tri_ref, inv_ref, *rest, n_chunks: int, col_tile: int,
             n_chunks, col_tile)
 
 
-def _raster_kernel_binned(tri_ref, inv_ref, ids_ref, *rest,
+def _raster_kernel_binned(nc_ref, tri_ref, inv_ref, ids_ref, *rest,
                           n_chunks: int, col_tile: int, with_attrs: bool):
     """Like _raster_kernel, but over THIS tile's binned face list.
 
+    nc_ref:  (T,) int32 scalar-prefetch ref (SMEM, whole array; this
+             toolchain's mosaic rejects blocked SMEM scalars) — how
+             many face CHUNKS each tile actually holds
+             (ceil(live count / FACE_CHUNK)). The fold runs only this
+             tile's count (dynamic fori_loop bound): the capacity is a
+             worst-case guarantee, and sweeping it everywhere made one
+             dense tile tax every empty tile of the frame — at 2048px
+             that was 8192 chunk sweeps for a scene needing ~700.
+             Bit-identical to the full sweep: the skipped slots all
+             have inv == 0, which can never win.
     tri_ref: (1, R, CAP) gathered triangle rows for the tile — R = 16
              (rows 0..8 = triangle, rest pad) or 32 when with_attrs
              (rows 16..31 = per-face attribute rows, see _attr_pick);
@@ -254,14 +279,17 @@ def _raster_kernel_binned(tri_ref, inv_ref, ids_ref, *rest,
             jnp.zeros((ROW_TILE, col_tile), jnp.float32))
     if with_attrs:
         init = init + (jnp.full((ROW_TILE, col_tile), -1, jnp.int32),)
-    out = jax.lax.fori_loop(0, n_chunks, chunk_step, init)
+    n_tx_grid = pl.num_programs(1)
+    nc = jnp.minimum(nc_ref[tile_r * n_tx_grid + tile_c],
+                     n_chunks)                  # dynamic per-tile bound
+    out = jax.lax.fori_loop(0, nc, chunk_step, init)
     fid_ref[:] = out[1]
     b0_ref[:] = out[2]
     b1_ref[:] = out[3]
     if with_attrs:
         attr_out_ref[0] = _attr_pick_fold(
             out[4], lambda sl: tri_ref[0, 16:, pl.ds(sl, FACE_CHUNK)],
-            n_chunks, col_tile)
+            nc, col_tile)
 
 
 def _bin_faces(tri_rows: jnp.ndarray, inv_area: jnp.ndarray,
@@ -279,6 +307,13 @@ def _bin_faces(tri_rows: jnp.ndarray, inv_area: jnp.ndarray,
     unbinned kernel. A tile whose overlap count exceeds ``cap`` drops
     the highest-id faces (MANO hand meshes peak at a few hundred faces
     per 8x256px band, far below the default 512).
+
+    Also returns the per-tile live counts (T,) int32 (clipped to
+    ``cap``) so the kernel can bound its chunk fold by THIS tile's
+    actual fill instead of sweeping the full capacity everywhere —
+    the capacity is a worst-case guarantee, but most tiles of a real
+    frame are empty or near-empty (a 2048px close-up has 12 tiles
+    above 256 faces and ~1400 with zero).
     """
     f_total = tri_rows.shape[1]
     n_ty = height // ROW_TILE
@@ -301,13 +336,18 @@ def _bin_faces(tri_rows: jnp.ndarray, inv_area: jnp.ndarray,
 
     # stable argsort: overlapping faces first, original id order kept
     order = jnp.argsort(~overlap, axis=1, stable=True)[:, :cap]  # (T, cap)
-    slot_live = jnp.take_along_axis(overlap, order, axis=1)     # (T, cap)
+    counts = jnp.minimum(overlap.sum(axis=1), cap).astype(jnp.int32)
+    # live-first stable order means slot k is live iff k < count — a
+    # free iota compare; the take_along_axis(overlap, order) gather it
+    # replaces profiled at 11.0 ms/frame at 2048px (31% of the render)
+    slot_live = (jnp.arange(cap, dtype=jnp.int32)[None, :]
+                 < counts[:, None])                             # (T, cap)
 
     tri_t = tri_rows.T[order]                    # (T, cap, 16)
     tri_t = tri_t.transpose(0, 2, 1)             # (T, 16, cap)
     inv_t = inv_area[0][order] * slot_live       # empty slots -> 0
     ids_t = jnp.where(slot_live, order.astype(jnp.int32), -1)
-    return tri_t, inv_t[:, None, :], ids_t[:, None, :]
+    return tri_t, inv_t[:, None, :], ids_t[:, None, :], counts
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "col_tile",
@@ -397,15 +437,19 @@ def rasterize_pallas_binned(verts_screen: jnp.ndarray, faces: jnp.ndarray,
             - (xs[:, 2] - xs[:, 0]) * (ys[:, 1] - ys[:, 0]))
     inv_area = jnp.where(jnp.abs(area) < 1e-9, 0.0, 1.0 / area)[None, :]
 
-    tri_t, inv_t, ids_t = _bin_faces(tri_rows, inv_area, height, width,
-                                     col_tile, bin_cap)
+    tri_t, inv_t, ids_t, counts = _bin_faces(tri_rows, inv_area, height,
+                                             width, col_tile, bin_cap)
+    nchunks_t = (counts + FACE_CHUNK - 1) // FACE_CHUNK      # (T,) int32
 
     kernel = functools.partial(_raster_kernel_binned, n_chunks=n_chunks,
                                col_tile=col_tile, with_attrs=with_attrs)
     grid = (n_ty, n_tx)
-    out_spec = pl.BlockSpec((ROW_TILE, col_tile), lambda i, j: (i, j),
+    # the per-tile chunk counts ride as a scalar-prefetch operand (the
+    # one whole-array-in-SMEM form this toolchain's mosaic lowers);
+    # index maps therefore take the scalar ref as a trailing argument
+    out_spec = pl.BlockSpec((ROW_TILE, col_tile), lambda i, j, nc: (i, j),
                             memory_space=pltpu.VMEM)
-    tile_ix = lambda i, j: (i * n_tx + j, 0, 0)
+    tile_ix = lambda i, j, nc: (i * n_tx + j, 0, 0)
     out_specs = [out_spec, out_spec, out_spec]
     out_shape = [
         jax.ShapeDtypeStruct((height, width), jnp.int32),
@@ -414,25 +458,28 @@ def rasterize_pallas_binned(verts_screen: jnp.ndarray, faces: jnp.ndarray,
     ]
     if with_attrs:
         out_specs.append(pl.BlockSpec(
-            (1, N_ATTR, ROW_TILE * col_tile),
-            lambda i, j: (i * n_tx + j, 0, 0), memory_space=pltpu.VMEM))
+            (1, N_ATTR, ROW_TILE * col_tile), tile_ix,
+            memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct(
             (n_ty * n_tx, N_ATTR, ROW_TILE * col_tile), jnp.float32))
     outs = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, n_rows, bin_cap), tile_ix,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bin_cap), tile_ix,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bin_cap), tile_ix,
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=out_specs,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, n_rows, bin_cap), tile_ix,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bin_cap), tile_ix,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bin_cap), tile_ix,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+        ),
         out_shape=out_shape,
         interpret=interpret,
-    )(tri_t, inv_t, ids_t)
+    )(nchunks_t, tri_t, inv_t, ids_t)
     fid, b0, b1 = outs[:3]
     bary = jnp.stack([b0, b1, 1.0 - b0 - b1], axis=-1)
     bary = jnp.where((fid >= 0)[..., None], bary, 0.0)

@@ -182,11 +182,15 @@ def test_bin_faces_prestage_2048_shapes(rng):
             - (tri[6] - tri[0]) * (tri[4] - tri[1]))
     inv = jnp.where(jnp.abs(area) < 1e-9, 0.0, 1.0 / area)[None, :]
     cap = FACE_CHUNK
-    tri_t, inv_t, ids_t = _bin_faces(tri, inv, 2048, 2048, 256, cap)
+    tri_t, inv_t, ids_t, counts = _bin_faces(tri, inv, 2048, 2048, 256, cap)
     n_tiles = (2048 // 8) * (2048 // 256)
     assert tri_t.shape == (n_tiles, 16, cap)
     assert ids_t.shape == (n_tiles, 1, cap)
     ids = np.asarray(ids_t)[:, 0, :]
+    # per-tile counts drive the kernel's dynamic chunk bound: they must
+    # equal each tile's live-slot count (clipped to cap)
+    np.testing.assert_array_equal(
+        np.asarray(counts), np.count_nonzero(ids >= 0, axis=1))
     # live slots carry real ids in ascending order; dead slots are -1
     live = ids >= 0
     assert (np.asarray(inv_t)[:, 0, :][~live] == 0).all()
@@ -320,3 +324,37 @@ def test_adaptive_capacity_tier_matches_scan(rng):
     b = render_hands(verts, trans, det, faces, size=256, focal=400.0,
                      backend="scan")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_high_res_keeps_full_capacity_tier():
+    """The 512 capacity tier must stay available ABOVE 1024px.
+
+    bin_cap_for used to halve to 256 above 1024px on the assumption
+    that high-res tiles see fewer faces — measured false on the bench
+    realistic close-up scene (max 377 bbox-overlap faces/tile at 512,
+    1024 AND 2048 px): the halved cap pushed every 2048px frame onto
+    the ~277 ms flat fallback (fused stream step 331.8 ms). Adaptive
+    tier selection already handles sparse frames; the tier LIST must
+    not shrink with resolution. Pins: (a) bin_cap_for is BIN_CAP at
+    every size, (b) a scene with 256 < max faces/tile <= 512 shows
+    ZERO overflowing tiles at 2048px via the app-facing probe (i.e.
+    it rides a binned tier, not the flat fallback)."""
+    from acr_tpu.viz.raster import render_overflow_probe
+    from acr_tpu.viz.raster_pallas import BIN_CAP, bin_cap_for
+
+    for size in (256, 512, 1024, 2048, 4096):
+        assert bin_cap_for(size) == BIN_CAP
+    # 300 coincident stacked triangles on hand 0 -> one tile sees 300
+    # faces (between tier 256 and tier 512); hand 1 undetected
+    verts = np.zeros((2, 778, 3), np.float32)
+    verts[0, 0] = [-0.01, -0.01, 0.0]
+    verts[0, 1] = [0.01, -0.01, 0.0]
+    verts[0, 2] = [0.0, 0.01, 0.0]
+    faces = np.tile(np.array([[0, 1, 2]], np.int32), (300, 1))
+    faces = np.stack([faces, faces])                      # (2, 300, 3)
+    trans = jnp.asarray([[0, 0, 0.6], [0, 0, 0.6]], jnp.float32)
+    det = jnp.asarray([True, False])
+    mx, n_over = render_overflow_probe(
+        jnp.asarray(verts), trans, det, jnp.asarray(faces), size=2048)
+    assert 256 < int(mx) <= 512, int(mx)
+    assert int(n_over) == 0
