@@ -186,27 +186,39 @@ def shade(face_id: jnp.ndarray, bary: jnp.ndarray, faces: jnp.ndarray,
 
 
 def shade_from_attrs(face_id: jnp.ndarray, bary: jnp.ndarray,
-                     attr_img: jnp.ndarray,
+                     attr_planes: jnp.ndarray,
                      ambient: float = 0.3,
                      directional: float = 1.5) -> jnp.ndarray:
     """shade() from in-kernel-picked per-face attribute rows.
 
-    ``attr_img`` (H, W, N_ATTR): rows 0..8 = the winning face's corner
-    normals [n0 n1 n2] (zeros on background), 9..11 = its hand color —
-    produced by the pallas kernels' exact one-hot MXU pick, so the
-    values are bit-identical to shade()'s per-pixel gathers wherever
-    face_id >= 0; the final RGBA is identical everywhere because
-    background rgb is premultiplied by alpha = 0 in both paths.
+    ``attr_planes`` (N_ATTR, H, W) channel-major planes: rows 0..8 =
+    the winning face's corner normals [n0x n0y n0z n1x .. n2z] (zeros
+    on background), 9..11 = its hand color — produced by the pallas
+    kernels' exact one-hot MXU pick, so the values are bit-identical
+    to shade()'s per-pixel gathers wherever face_id >= 0; the final
+    RGBA is identical everywhere because background rgb is
+    premultiplied by alpha = 0 in both paths.
+
+    All arithmetic runs on (H, W) planes (minor dim = W, full 128-lane
+    VPU occupancy). The previous channel-minor (H, W, C) formulation
+    put C in {3, 16} on the lane axis and materialized a lane-padded
+    ~50 MB intermediate per op at 2048px — ~15 ms/frame of pure layout
+    waste (counted in the fused-step HLO: 12 pad + 8 maximum ops of
+    (2048,2048,3) f32). Only the final (H, W, 4) RGBA stack leaves
+    planar form, to keep the public contract.
     """
-    h, w = face_id.shape
-    tri_n = attr_img[..., :9].reshape(h, w, 3, 3)
-    n = jnp.einsum("hwk,hwkc->hwc", bary, tri_n)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
-    lambert = jnp.maximum(0.0, -n[..., 2])
+    b0, b1, b2 = bary[..., 0], bary[..., 1], bary[..., 2]
+    # interpolated normal, per component (same reduction order as the
+    # einsum "hwk,hwkc->hwc" it replaces: k ascending)
+    n = [b0 * attr_planes[c] + b1 * attr_planes[3 + c]
+         + b2 * attr_planes[6 + c] for c in range(3)]
+    norm = jnp.sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2])
+    nz = n[2] / jnp.maximum(norm, 1e-12)
+    lambert = jnp.maximum(0.0, -nz)
     intensity = jnp.clip(ambient + directional * lambert, 0.0, 1.0)
-    rgb = attr_img[..., 9:12] * intensity[..., None]
-    alpha = (face_id >= 0).astype(rgb.dtype)
-    return jnp.concatenate([rgb * alpha[..., None], alpha[..., None]], axis=-1)
+    alpha = (face_id >= 0).astype(intensity.dtype)
+    rgb = [(attr_planes[9 + c] * intensity) * alpha for c in range(3)]
+    return jnp.stack(rgb + [alpha], axis=-1)
 
 
 def _scene_screen_faces(all_verts: jnp.ndarray, detection_flag: jnp.ndarray,

@@ -381,12 +381,20 @@ def bin_overflow_stats(verts_screen: jnp.ndarray, faces: jnp.ndarray,
     return counts.max(), jnp.sum(counts > cap)
 
 
-def _attr_image(attr_flat: jnp.ndarray, height: int, width: int,
-                col_tile: int) -> jnp.ndarray:
-    """(n_ty*n_tx, N_ATTR, px) tile-major kernel output -> (H, W, N_ATTR)."""
+def _attr_planes(attr_flat: jnp.ndarray, height: int, width: int,
+                 col_tile: int) -> jnp.ndarray:
+    """(n_ty*n_tx, N_ATTR, px) tile-major kernel output -> (N_ATTR, H, W).
+
+    PLANAR (channel-major) on purpose: every downstream shading op then
+    runs on (H, W) planes whose minor dim is W — full 128-lane VPU
+    occupancy. The previous channel-minor (H, W, N_ATTR) contract put C
+    in {3, 16} on the lane axis, so each of the ~12 shading/compose ops
+    at 2048px materialized a lane-padded ~50 MB intermediate (12 pad +
+    8 maximum ops of (2048,2048,3) f32 counted in the fused-step HLO) —
+    measured at ~15 ms of the 2048px frame."""
     n_ty, n_tx = height // ROW_TILE, width // col_tile
     a = attr_flat.reshape(n_ty, n_tx, N_ATTR, ROW_TILE, col_tile)
-    return a.transpose(0, 3, 1, 4, 2).reshape(height, width, N_ATTR)
+    return a.transpose(2, 0, 3, 1, 4).reshape(N_ATTR, height, width)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "bin_cap",
@@ -484,7 +492,7 @@ def rasterize_pallas_binned(verts_screen: jnp.ndarray, faces: jnp.ndarray,
     bary = jnp.stack([b0, b1, 1.0 - b0 - b1], axis=-1)
     bary = jnp.where((fid >= 0)[..., None], bary, 0.0)
     if with_attrs:
-        return fid, bary, _attr_image(outs[3], height, width, col_tile)
+        return fid, bary, _attr_planes(outs[3], height, width, col_tile)
     return fid, bary
 
 
@@ -561,5 +569,5 @@ def rasterize_pallas(verts_screen: jnp.ndarray, faces: jnp.ndarray,
     # background pixels keep bary 0 like the scan rasterizer
     bary = jnp.where((fid >= 0)[..., None], bary, 0.0)
     if with_attrs:
-        return fid, bary, _attr_image(outs[3], height, width, col_tile)
+        return fid, bary, _attr_planes(outs[3], height, width, col_tile)
     return fid, bary

@@ -257,9 +257,10 @@ def test_attr_pick_matches_gather_flat(rng):
     np.testing.assert_array_equal(np.asarray(bary0), np.asarray(bary1))
     fid = np.asarray(fid1)
     at = np.asarray(attrs)
-    # covered pixels: bit-identical to a host gather of the winner's rows
+    # covered pixels: bit-identical to a host gather of the winner's
+    # rows; contract is PLANAR (N_ATTR, H, W) — see _attr_planes
     expect = np.where((fid >= 0)[..., None],
-                      at.T[np.maximum(fid, 0)], 0.0)
+                      at.T[np.maximum(fid, 0)], 0.0).transpose(2, 0, 1)
     np.testing.assert_array_equal(np.asarray(attr_img), expect)
 
 
@@ -280,7 +281,7 @@ def test_attr_pick_matches_gather_binned(rng):
     fid = np.asarray(fid1)
     at = np.asarray(attrs)
     expect = np.where((fid >= 0)[..., None],
-                      at.T[np.maximum(fid, 0)], 0.0)
+                      at.T[np.maximum(fid, 0)], 0.0).transpose(2, 0, 1)
     np.testing.assert_array_equal(np.asarray(attr_img), expect)
 
 
