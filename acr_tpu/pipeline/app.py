@@ -61,9 +61,16 @@ def pack_outputs(out: Dict, spec_sink: list):
     for k in sorted(out):
         v = out[k]
         if k == "_rgba":
+            # PLANAR (…, 4, H, W) from render_rgba_device: the clip/
+            # round/uint8 ops run with minor dim W (full 128-lane
+            # occupancy) instead of a 4-lane channel-minor layout; the
+            # bitcast groups 4 consecutive same-channel pixels per f32
+            # word (a pure transport container) and the host unpack
+            # moveaxes back to (…, H, W, 4) for free.
             v8 = jnp.clip(jnp.round(v * 255.0), 0, 255
                           ).astype(jnp.uint8).reshape(-1, 4)
-            spec_sink.append((k, v.shape, "u8x255"))
+            planar = v.shape[-1] != 4
+            spec_sink.append((k, v.shape, "u8x255p" if planar else "u8x255"))
             parts.append(jax.lax.bitcast_convert_type(v8, jnp.float32))
             continue
         spec_sink.append((k, v.shape, v.dtype))
@@ -77,10 +84,12 @@ def unpack_outputs(packed, spec) -> Dict:
     out, off = {}, 0
     for k, shape, dtype in spec:
         n = int(np.prod(shape))
-        if dtype == "u8x255":                  # bitcast uint8 image
+        if dtype in ("u8x255", "u8x255p"):     # bitcast uint8 image
             n4 = n // 4
-            raw = arr[off:off + n4].view(np.uint8)
-            out[k] = raw.reshape(shape).astype(np.float32) / 255.0
+            raw = arr[off:off + n4].view(np.uint8).reshape(shape)
+            if dtype == "u8x255p":             # planar (…, 4, H, W)
+                raw = np.moveaxis(raw, -3, -1)
+            out[k] = raw.astype(np.float32) / 255.0
             off += n4
             continue
         out[k] = arr[off:off + n].reshape(shape).astype(dtype)
@@ -180,7 +189,7 @@ class ACRApp:
                         size=cfg.render_size,
                         focal=float(cfg.focal_length),
                         camera=self.visualizer.camera,
-                        fov_deg=float(cfg.FOV)),
+                        fov_deg=float(cfg.FOV), planar=True),
                     (out["verts"], out["cam_trans"],
                      out["detection_flag"]))
                 if do_probe:

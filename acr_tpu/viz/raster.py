@@ -188,7 +188,8 @@ def shade(face_id: jnp.ndarray, bary: jnp.ndarray, faces: jnp.ndarray,
 def shade_from_attrs(face_id: jnp.ndarray, bary: jnp.ndarray,
                      attr_planes: jnp.ndarray,
                      ambient: float = 0.3,
-                     directional: float = 1.5) -> jnp.ndarray:
+                     directional: float = 1.5,
+                     planar: bool = False) -> jnp.ndarray:
     """shade() from in-kernel-picked per-face attribute rows.
 
     ``attr_planes`` (N_ATTR, H, W) channel-major planes: rows 0..8 =
@@ -205,7 +206,11 @@ def shade_from_attrs(face_id: jnp.ndarray, bary: jnp.ndarray,
     ~50 MB intermediate per op at 2048px — ~15 ms/frame of pure layout
     waste (counted in the fused-step HLO: 12 pad + 8 maximum ops of
     (2048,2048,3) f32). Only the final (H, W, 4) RGBA stack leaves
-    planar form, to keep the public contract.
+    planar form, to keep the public contract — unless ``planar=True``,
+    which returns (4, H, W) so downstream device stages (the uint8
+    pack in pipeline/app.pack_outputs) also run at full lane occupancy
+    and the one channel-minor transpose moves to the HOST unpack
+    (a numpy moveaxis on 4 MB of uint8, effectively free).
     """
     b0, b1, b2 = bary[..., 0], bary[..., 1], bary[..., 2]
     # interpolated normal, per component (same reduction order as the
@@ -218,7 +223,7 @@ def shade_from_attrs(face_id: jnp.ndarray, bary: jnp.ndarray,
     intensity = jnp.clip(ambient + directional * lambert, 0.0, 1.0)
     alpha = (face_id >= 0).astype(intensity.dtype)
     rgb = [(attr_planes[9 + c] * intensity) * alpha for c in range(3)]
-    return jnp.stack(rgb + [alpha], axis=-1)
+    return jnp.stack(rgb + [alpha], axis=0 if planar else -1)
 
 
 def _scene_screen_faces(all_verts: jnp.ndarray, detection_flag: jnp.ndarray,
@@ -272,7 +277,7 @@ def render_overflow_probe(verts: jnp.ndarray, cam_trans: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("size", "focal", "backend",
                                              "camera", "fov_deg",
-                                             "interpret"))
+                                             "interpret", "planar"))
 def render_hands(verts: jnp.ndarray,
                  cam_trans: jnp.ndarray,
                  detection_flag: jnp.ndarray,
@@ -282,8 +287,11 @@ def render_hands(verts: jnp.ndarray,
                  backend: str = "auto",
                  camera: str = "intrinsics",
                  fov_deg: float = 22.5,
-                 interpret: bool = False) -> jnp.ndarray:
-    """Render both hand meshes of one image -> (size, size, 4) RGBA.
+                 interpret: bool = False,
+                 planar: bool = False) -> jnp.ndarray:
+    """Render both hand meshes of one image -> (size, size, 4) RGBA
+    (``planar=True``: (4, size, size) channel-major — full-lane device
+    layout for jitted consumers; see shade_from_attrs).
 
     verts (2, 778, 3) root-relative; cam_trans (2, 3) metric camera
     translation; detection_flag (2,) bool; faces (2, 1538, 3).
@@ -367,6 +375,7 @@ def render_hands(verts: jnp.ndarray,
             out = rasterize_pallas(screen, all_faces, size, size,
                                    interpret=interpret, attrs=attrs)
         face_id, bary, attr_img = out
-        return shade_from_attrs(face_id, bary, attr_img)
+        return shade_from_attrs(face_id, bary, attr_img, planar=planar)
     face_id, bary = rasterize(screen, all_faces, size, size)
-    return shade(face_id, bary, all_faces, normals, face_colors)
+    rgba = shade(face_id, bary, all_faces, normals, face_colors)
+    return jnp.moveaxis(rgba, -1, 0) if planar else rgba

@@ -160,13 +160,16 @@ class Visualizer:
 
         Returns the device array so callers can batch the readback with
         the rest of the frame's outputs (one host<->device round trip
-        per frame instead of one per array).
+        per frame instead of one per array). PLANAR (4, S, S) layout:
+        the downstream jitted uint8 pack then runs at full TPU lane
+        occupancy (see raster.shade_from_attrs); host consumers
+        normalize via compose_on_frame / unpack_outputs.
         """
         return render_hands(
             out["verts"][batch_idx], out["cam_trans"][batch_idx],
             out["detection_flag"][batch_idx], self.faces,
             size=self.cfg.render_size, focal=float(self.cfg.focal_length),
-            camera=self.camera, fov_deg=float(self.cfg.FOV))
+            camera=self.camera, fov_deg=float(self.cfg.FOV), planar=True)
 
     def overflow_probe_device(self, out: Dict, batch_idx: int = 0):
         """Dispatch the binned-raster capacity probe (no sync).
@@ -183,7 +186,14 @@ class Visualizer:
 
     def compose_on_frame(self, rgba: np.ndarray, bgr_frame: np.ndarray,
                          meta: Dict) -> np.ndarray:
-        """Host-side compositing + paste-back; returns BGR."""
+        """Host-side compositing + paste-back; returns BGR.
+
+        Accepts (S, S, 4) or the device-planar (4, S, S) form that
+        render_rgba_device emits (normalized here with a free numpy
+        moveaxis)."""
+        rgba = np.asarray(rgba)
+        if rgba.ndim == 3 and rgba.shape[0] == 4 and rgba.shape[-1] != 4:
+            rgba = np.moveaxis(rgba, 0, -1)
         input_rgb = np.asarray(meta["image"][0])
         blended = self.composite(np.asarray(rgba), input_rgb)
         pasted = self.paste_back(blended, bgr_frame[:, :, ::-1],
