@@ -212,7 +212,9 @@ def shade_from_attrs(face_id: jnp.ndarray, bary: jnp.ndarray,
     and the one channel-minor transpose moves to the HOST unpack
     (a numpy moveaxis on 4 MB of uint8, effectively free).
     """
-    b0, b1, b2 = bary[..., 0], bary[..., 1], bary[..., 2]
+    # bary arrives as a tuple of (H, W) planes from the with-attrs
+    # rasterize paths (no channel stack materialized on device)
+    b0, b1, b2 = bary[0], bary[1], bary[2]
     # interpolated normal, per component (same reduction order as the
     # einsum "hwk,hwkc->hwc" it replaces: k ascending)
     n = [b0 * attr_planes[c] + b1 * attr_planes[3 + c]

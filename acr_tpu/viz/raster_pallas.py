@@ -489,10 +489,20 @@ def rasterize_pallas_binned(verts_screen: jnp.ndarray, faces: jnp.ndarray,
         interpret=interpret,
     )(nchunks_t, tri_t, inv_t, ids_t)
     fid, b0, b1 = outs[:3]
+    if with_attrs:
+        # bary as a TUPLE of three (H, W) planes alongside the planar
+        # attr planes: no stack is materialized at all — each plane
+        # fuses into shade_from_attrs' per-plane arithmetic, and the
+        # background mask is a full-lane (H, W) select. (A channel-minor
+        # (H, W, 3) stack put 3 channels on the 128-lane axis; a
+        # channel-major (3, H, W) stack materialized ~50 MB per op at
+        # 2048px before shade unstacked it again.)
+        mask = fid >= 0
+        bary = tuple(jnp.where(mask, b, 0.0)
+                     for b in (b0, b1, 1.0 - b0 - b1))
+        return fid, bary, _attr_planes(outs[3], height, width, col_tile)
     bary = jnp.stack([b0, b1, 1.0 - b0 - b1], axis=-1)
     bary = jnp.where((fid >= 0)[..., None], bary, 0.0)
-    if with_attrs:
-        return fid, bary, _attr_planes(outs[3], height, width, col_tile)
     return fid, bary
 
 
@@ -565,9 +575,13 @@ def rasterize_pallas(verts_screen: jnp.ndarray, faces: jnp.ndarray,
         interpret=interpret,
     )(*operands)
     fid, b0, b1 = outs[:3]
+    if with_attrs:
+        # per-plane bary tuple, matching rasterize_pallas_binned
+        mask = fid >= 0
+        bary = tuple(jnp.where(mask, b, 0.0)
+                     for b in (b0, b1, 1.0 - b0 - b1))
+        return fid, bary, _attr_planes(outs[3], height, width, col_tile)
     bary = jnp.stack([b0, b1, 1.0 - b0 - b1], axis=-1)
     # background pixels keep bary 0 like the scan rasterizer
     bary = jnp.where((fid >= 0)[..., None], bary, 0.0)
-    if with_attrs:
-        return fid, bary, _attr_planes(outs[3], height, width, col_tile)
     return fid, bary

@@ -254,7 +254,9 @@ def test_attr_pick_matches_gather_flat(rng):
     fid1, bary1, attr_img = rasterize_pallas(screen, faces, 128, 128,
                                              interpret=True, attrs=attrs)
     np.testing.assert_array_equal(np.asarray(fid0), np.asarray(fid1))
-    np.testing.assert_array_equal(np.asarray(bary0), np.asarray(bary1))
+    # with attrs, bary is PLANAR (3, H, W) — same values, device layout
+    np.testing.assert_array_equal(np.asarray(bary0),
+                                  np.moveaxis(np.asarray(bary1), 0, -1))
     fid = np.asarray(fid1)
     at = np.asarray(attrs)
     # covered pixels: bit-identical to a host gather of the winner's
@@ -277,7 +279,9 @@ def test_attr_pick_matches_gather_binned(rng):
     fid1, bary1, attr_img = rasterize_pallas_binned(
         screen, faces, 128, 128, bin_cap=128, interpret=True, attrs=attrs)
     np.testing.assert_array_equal(np.asarray(fid0), np.asarray(fid1))
-    np.testing.assert_array_equal(np.asarray(bary0), np.asarray(bary1))
+    # with attrs, bary is PLANAR (3, H, W) — same values, device layout
+    np.testing.assert_array_equal(np.asarray(bary0),
+                                  np.moveaxis(np.asarray(bary1), 0, -1))
     fid = np.asarray(fid1)
     at = np.asarray(attrs)
     expect = np.where((fid >= 0)[..., None],
