@@ -45,7 +45,7 @@ from acr_tpu.utils.meters import StageTimer
 log = logging.getLogger("acr_tpu")
 
 
-def pack_outputs(out: Dict, spec_sink: list):
+def pack_outputs(out: Dict, spec_sink: list, planar_rgba: bool = True):
     """(traced) concat every output into ONE flat f32 buffer.
 
     Through a relayed transport each fetched array pays its own round
@@ -54,6 +54,12 @@ def pack_outputs(out: Dict, spec_sink: list):
     uint8 bytes bitcast into the f32 stream (4 bytes/px instead of 16;
     display precision). The unpack spec is recorded at trace time into
     ``spec_sink`` (cleared first) for :func:`unpack_outputs`.
+
+    ``planar_rgba`` states the `_rgba` layout EXPLICITLY: True = the
+    planar (…, 4, H, W) form render_rgba_device emits, False =
+    channel-minor (…, H, W, 4). Callers own the render call, so the
+    layout is known where the flag is passed — inferring it from
+    trailing dims would misroute a 4px render (ADVICE r4).
     """
     import jax.numpy as jnp
     parts = []
@@ -67,10 +73,12 @@ def pack_outputs(out: Dict, spec_sink: list):
             # bitcast groups 4 consecutive same-channel pixels per f32
             # word (a pure transport container) and the host unpack
             # moveaxes back to (…, H, W, 4) for free.
+            assert v.shape[-3 if planar_rgba else -1] == 4, \
+                (v.shape, planar_rgba)
             v8 = jnp.clip(jnp.round(v * 255.0), 0, 255
                           ).astype(jnp.uint8).reshape(-1, 4)
-            planar = v.shape[-1] != 4
-            spec_sink.append((k, v.shape, "u8x255p" if planar else "u8x255"))
+            spec_sink.append(
+                (k, v.shape, "u8x255p" if planar_rgba else "u8x255"))
             parts.append(jax.lax.bitcast_convert_type(v8, jnp.float32))
             continue
         spec_sink.append((k, v.shape, v.dtype))
@@ -151,7 +159,8 @@ class ACRApp:
                 if do_probe:
                     out["_raster_overflow"] = \
                         self.visualizer.overflow_probe_device(out)
-            return state, pack_outputs(out, self._stream_spec)
+            return state, pack_outputs(out, self._stream_spec,
+                                       planar_rgba=True)
 
         # NOTE: the filter state is NOT donated — its freshly-initialized
         # pytree aliases the same zero buffer across leaves, and XLA
@@ -163,6 +172,10 @@ class ACRApp:
         self._jit_chunk_step = None
         if pl.mesh is not None:
             return
+        # the donated image/offsets free their HBM at execution; they
+        # can never ALIAS the packed f32 output (dtype/size mismatch),
+        # so XLA's "donated buffers were not usable" note is expected
+        # (filtered in infer.py at runtime and pyproject for pytest)
         self._jit_stream_step = jax.jit(_stream_step,
                                         donate_argnums=(4, 5))
 
@@ -207,7 +220,8 @@ class ACRApp:
                     # overflowing tiles in the chunk
                     out["_raster_overflow"] = jnp.stack(
                         [per_frame[:, 0].max(), per_frame[:, 1].sum()])
-            return state, pack_outputs(out, self._chunk_spec)
+            return state, pack_outputs(out, self._chunk_spec,
+                                       planar_rgba=True)
 
         self._jit_chunk_step = jax.jit(_chunk_step, donate_argnums=(4, 5))
 
@@ -313,8 +327,9 @@ class ACRApp:
         if self.visualizer is not None:
             with self.timer.stage("render"):
                 if "_rgba" in out:
+                    # render_rgba_device emits planar (4, S, S)
                     rendered = self.visualizer.compose_on_frame(
-                        out["_rgba"], bgr_frame, meta)
+                        out["_rgba"], bgr_frame, meta, planar=True)
                 else:
                     rendered = self.visualizer.render_on_frame(
                         bgr_frame, out, meta)
@@ -595,9 +610,11 @@ class ACRApp:
                 if self.visualizer is not None:
                     one = {key: v[k:k + 1] for key, v in chunk.items()}
                     with self.timer.stage("render"):
-                        if rgba is not None:       # device-rendered
+                        if rgba is not None:
+                            # device-rendered; unpack_outputs already
+                            # moved planar back to (S, S, 4)
                             rendered = self.visualizer.compose_on_frame(
-                                rgba[k], frame, meta)
+                                rgba[k], frame, meta, planar=False)
                         else:
                             rendered = self.visualizer.render_on_frame(
                                 frame, one, meta)

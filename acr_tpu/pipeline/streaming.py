@@ -111,14 +111,18 @@ class StreamingLoop:
         if isinstance(out, dict):          # legacy (data-parallel) path
             import jax
             out = jax.device_get(out)
+            # legacy path took _rgba straight from render_rgba_device,
+            # which emits planar (4, S, S)
+            rgba_planar = True
         else:
             out = self.app.unpack_stream(out)  # ONE array = one round trip
+            rgba_planar = False            # unpack restores (S, S, 4)
         detected = np.asarray(out["detection_flag"])
         rendered = frame
         if detected.any() and self.app.visualizer is not None:
             if "_rgba" in out:
                 rendered = self.app.visualizer.compose_on_frame(
-                    out["_rgba"], frame, meta)
+                    out["_rgba"], frame, meta, planar=rgba_planar)
             else:
                 rendered = self.app.visualizer.render_on_frame(frame, out, meta)
         dt = (time.perf_counter() - t0) * 1000.0

@@ -185,7 +185,9 @@ def shade(face_id: jnp.ndarray, bary: jnp.ndarray, faces: jnp.ndarray,
     return jnp.concatenate([rgb * alpha[..., None], alpha[..., None]], axis=-1)
 
 
-def shade_from_attrs(face_id: jnp.ndarray, bary: jnp.ndarray,
+def shade_from_attrs(face_id: jnp.ndarray,
+                     bary_planes: Tuple[jnp.ndarray, jnp.ndarray,
+                                        jnp.ndarray],
                      attr_planes: jnp.ndarray,
                      ambient: float = 0.3,
                      directional: float = 1.5,
@@ -212,9 +214,13 @@ def shade_from_attrs(face_id: jnp.ndarray, bary: jnp.ndarray,
     and the one channel-minor transpose moves to the HOST unpack
     (a numpy moveaxis on 4 MB of uint8, effectively free).
     """
-    # bary arrives as a tuple of (H, W) planes from the with-attrs
-    # rasterize paths (no channel stack materialized on device)
-    b0, b1, b2 = bary[0], bary[1], bary[2]
+    # bary arrives as a TUPLE of (H, W) planes from the with-attrs
+    # rasterize paths (no channel stack materialized on device); a
+    # stacked (H, W, 3) array would type-check but index pixel rows
+    # (ADVICE r4), so the contract is enforced here
+    assert isinstance(bary_planes, tuple) and len(bary_planes) == 3, \
+        "bary_planes must be a tuple of three (H, W) planes"
+    b0, b1, b2 = bary_planes
     # interpolated normal, per component (same reduction order as the
     # einsum "hwk,hwkc->hwc" it replaces: k ascending)
     n = [b0 * attr_planes[c] + b1 * attr_planes[3 + c]

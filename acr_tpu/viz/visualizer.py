@@ -185,17 +185,24 @@ class Visualizer:
             camera=self.camera, fov_deg=float(self.cfg.FOV))
 
     def compose_on_frame(self, rgba: np.ndarray, bgr_frame: np.ndarray,
-                         meta: Dict) -> np.ndarray:
+                         meta: Dict,
+                         planar: Optional[bool] = None) -> np.ndarray:
         """Host-side compositing + paste-back; returns BGR.
 
         Accepts (S, S, 4) or the device-planar (4, S, S) form that
         render_rgba_device emits (normalized here with a free numpy
-        moveaxis)."""
+        moveaxis). ``planar`` states the layout explicitly — every
+        in-repo caller knows which render path produced ``rgba``;
+        ``None`` falls back to shape inference, which is ambiguous for
+        a 4px render (ADVICE r4)."""
         rgba = np.asarray(rgba)
-        if rgba.ndim == 3 and rgba.shape[0] == 4 and rgba.shape[-1] != 4:
+        if planar is None:
+            planar = (rgba.ndim == 3 and rgba.shape[0] == 4
+                      and rgba.shape[-1] != 4)
+        if planar:
             rgba = np.moveaxis(rgba, 0, -1)
         input_rgb = np.asarray(meta["image"][0])
-        blended = self.composite(np.asarray(rgba), input_rgb)
+        blended = self.composite(rgba, input_rgb)
         pasted = self.paste_back(blended, bgr_frame[:, :, ::-1],
                                  meta["offsets"][0])
         return pasted[:, :, ::-1]
@@ -204,7 +211,7 @@ class Visualizer:
                         meta: Dict) -> np.ndarray:
         """Full mesh-over-frame path; returns BGR for cv2.imwrite."""
         rgba = self.render_rgba(out)
-        return self.compose_on_frame(rgba, bgr_frame, meta)
+        return self.compose_on_frame(rgba, bgr_frame, meta, planar=False)
 
     # ------------------------------------------------------------------
     def draw_keypoints(self, image_rgb: np.ndarray, kp2d: np.ndarray,

@@ -151,6 +151,38 @@ def _force_packed(packed):
     return float(np.asarray(packed)[-64:].sum())
 
 
+def stream_step_setup(precision: str = "fp32", quantize: str = "none",
+                      render_size: int = 512):
+    """PUBLIC scaffolding shared by the bench and tools/profile_stream
+    (ADVICE r4: the profiler must not re-derive the bench's scene).
+
+    Builds the stream-path app on the realistic two-hand scene and
+    returns ``(app, step, state, uploads, force)``: ``uploads(n)``
+    pre-uploads n fresh (image, offsets) device-buffer pairs — the step
+    donates its inputs, and in-loop uploads would time the relay
+    transport (~39 ms/step measured), not the device — and
+    ``force(packed)`` drains the device queue via the finite-tail
+    checksum readback.
+    """
+    import jax
+    import numpy as np
+
+    app = _build_stream_app(precision, quantize, render_size)
+    image = np.random.RandomState(0).randint(
+        0, 255, (1, 512, 512 * 3)).astype(np.uint8)
+    offsets = np.tile(np.array(
+        [[512, 512, 0, 0, 0, 0, 0, 0, 0, 0]], np.float32), (1, 1))
+
+    def uploads(n):
+        bufs = [(jax.device_put(image), jax.device_put(offsets))
+                for _ in range(n)]
+        jax.block_until_ready(bufs)
+        return bufs
+
+    return app, app._jit_stream_step, app.filter_state, uploads, \
+        _force_packed
+
+
 def _measure_stream_b1(iters: int, reps: int, precision: str = "fp32",
                        quantize: str = "none", render_size: int = 512,
                        tag: str = ""):
@@ -161,31 +193,16 @@ def _measure_stream_b1(iters: int, reps: int, precision: str = "fp32",
     reports the per-step median and the p50/p90 across repetitions.
 
     The frame buffers are PRE-UPLOADED, one fresh donated buffer per
-    step: through this terminal's relay a 512px uint8 host->device
-    upload costs ~39 ms of pure transport (measured: timing the
-    uploads inside the loop reports 38.9 ms/step), which would report
-    the relay, not the device. Production hosts upload at PCIe/local
-    bandwidth, so the device-step number is the one that transfers.
+    step (see stream_step_setup). Production hosts upload at
+    PCIe/local bandwidth, so the device-step number is the one that
+    transfers.
     """
     import jax
     import numpy as np
 
-    app = _build_stream_app(precision, quantize, render_size)
+    app, step, state, uploads, force = stream_step_setup(
+        precision, quantize, render_size)
     pl = app.pipeline
-    image = np.random.RandomState(0).randint(
-        0, 255, (1, 512, 512 * 3)).astype(np.uint8)
-    offsets = np.tile(np.array(
-        [[512, 512, 0, 0, 0, 0, 0, 0, 0, 0]], np.float32), (1, 1))
-    step = app._jit_stream_step
-    state = app.filter_state
-    force = _force_packed
-
-    def uploads(n):
-        # fresh device buffers each time (the step donates its inputs)
-        bufs = [(jax.device_put(image), jax.device_put(offsets))
-                for _ in range(n)]
-        jax.block_until_ready(bufs)
-        return bufs
 
     for img_d, off_d in uploads(4):      # compile + warmup
         state, packed = step(pl.params, pl.mano_l, pl.mano_r, state,

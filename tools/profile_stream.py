@@ -5,9 +5,9 @@ refine + on-device render + packed readback) on the TPU.
 Same xprof framework_op_stats analysis as tools/profile_step.py, but on
 the program the webcam latency path actually runs — including the
 renderer, which dominates at high ``--render_size``. Drives the exact
-bench scene (bench._build_stream_app's realistic two-hand layout) so
-the adaptive-capacity tier taken in the trace is the one the bench
-measures.
+bench scene via bench.stream_step_setup (the shared public
+scaffolding) so the adaptive-capacity tier taken in the trace is the
+one the bench measures.
 
 Usage:
     python tools/profile_stream.py [--render_size 2048] [--iters 20]
@@ -27,36 +27,26 @@ sys.path.insert(0, REPO)
 def capture(precision: str, quantize: str, render_size: int, iters: int,
             trace_dir: str) -> None:
     import jax
-    import numpy as np
 
     import bench
 
-    app = bench._build_stream_app(precision, quantize, render_size)
+    # the bench's public scaffolding: same scene, same pre-uploaded
+    # donated buffers, same queue-draining readback (ADVICE r4)
+    app, step, state, uploads, force = bench.stream_step_setup(
+        precision, quantize, render_size)
     pl = app.pipeline
-    image = np.random.RandomState(0).randint(
-        0, 255, (1, 512, 512 * 3)).astype(np.uint8)
-    offsets = np.tile(np.array(
-        [[512, 512, 0, 0, 0, 0, 0, 0, 0, 0]], np.float32), (1, 1))
-    step = app._jit_stream_step
-    state = app.filter_state
-
-    def uploads(n):
-        bufs = [(jax.device_put(image), jax.device_put(offsets))
-                for _ in range(n)]
-        jax.block_until_ready(bufs)
-        return bufs
 
     for img_d, off_d in uploads(3):           # compile + warmup
         state, packed = step(pl.params, pl.mano_l, pl.mano_r, state,
                              img_d, off_d)
-    bench._force_packed(packed)
+    force(packed)
 
     bufs = uploads(iters)
     with jax.profiler.trace(trace_dir):
         for img_d, off_d in bufs:
             state, packed = step(pl.params, pl.mano_l, pl.mano_r, state,
                                  img_d, off_d)
-        bench._force_packed(packed)           # force inside trace
+        force(packed)                         # force inside trace
 
 
 def main(argv=None):
