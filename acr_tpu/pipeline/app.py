@@ -162,28 +162,45 @@ class ACRApp:
             return state, pack_outputs(out, self._stream_spec,
                                        planar_rgba=True)
 
-        # NOTE: the filter state is NOT donated — its freshly-initialized
-        # pytree aliases the same zero buffer across leaves, and XLA
-        # rejects donating one buffer twice. Under data_parallel > 1
-        # the fused steps are DISABLED (None): they would bypass the
-        # pipeline's mesh sharding/padding and run single-device — the
-        # legacy per-stage paths keep DP correct.
-        self._jit_stream_step = None
-        self._jit_chunk_step = None
-        if pl.mesh is not None:
-            return
-        # the donated image/offsets free their HBM at execution; they
-        # can never ALIAS the packed f32 output (dtype/size mismatch),
-        # so XLA's "donated buffers were not usable" note is expected
-        # (filtered in infer.py at runtime and pyproject for pytest)
-        self._jit_stream_step = jax.jit(_stream_step,
-                                        donate_argnums=(4, 5))
+        def _render_chunk(out):
+            """Per-frame on-device render (+ per-frame probe counts) via
+            lax.map — map keeps the binned-raster overflow lax.cond per
+            frame (a vmap would select-execute BOTH raster kernels)."""
+            from acr_tpu.viz.raster import render_hands
+            out["_rgba"] = jax.lax.map(
+                lambda vcd: render_hands(
+                    vcd[0], vcd[1], vcd[2], self.pipeline.faces,
+                    size=cfg.render_size,
+                    focal=float(cfg.focal_length),
+                    camera=self.visualizer.camera,
+                    fov_deg=float(cfg.FOV), planar=True),
+                (out["verts"], out["cam_trans"],
+                 out["detection_flag"]))
+            if do_probe:
+                from acr_tpu.viz.raster import render_overflow_probe
+                out["_probe_frames"] = jax.lax.map(
+                    lambda vcd: render_overflow_probe(
+                        vcd[0], vcd[1], vcd[2], self.pipeline.faces,
+                        size=cfg.render_size,
+                        focal=float(cfg.focal_length),
+                        camera=self.visualizer.camera,
+                        fov_deg=float(cfg.FOV)),
+                    (out["verts"], out["cam_trans"],
+                     out["detection_flag"]))       # (B, 2)
+            return out
+
+        def _probe_reduce(out):
+            """Chunk telemetry: worst tile across frames + total
+            overflowing tiles in the chunk (host logging format)."""
+            per_frame = out.pop("_probe_frames", None)
+            if per_frame is not None:
+                out["_raster_overflow"] = jnp.stack(
+                    [per_frame[:, 0].max(), per_frame[:, 1].sum()])
+            return out
 
         def _chunk_step(params, ml, mr, state, image, offsets):
             """Throughput twin of _stream_step: a whole frame chunk,
-            scan-based OneEuro, per-frame on-device render via lax.map
-            (map keeps the binned-raster overflow lax.cond per frame —
-            a vmap would select-execute BOTH raster kernels), and one
+            scan-based OneEuro, per-frame on-device render, and one
             packed buffer out."""
             out = forward_fn(pl.net, params, ml, mr, image, offsets, cfg,
                              merge_params=pl.merge_params)
@@ -195,35 +212,86 @@ class ACRApp:
                 out.update(_mano_projection_tail(
                     ml, mr, poses, betas, out["cam"], offsets, cfg))
             if do_render:
-                from acr_tpu.viz.raster import render_hands
-                out["_rgba"] = jax.lax.map(
-                    lambda vcd: render_hands(
-                        vcd[0], vcd[1], vcd[2], self.pipeline.faces,
-                        size=cfg.render_size,
-                        focal=float(cfg.focal_length),
-                        camera=self.visualizer.camera,
-                        fov_deg=float(cfg.FOV), planar=True),
-                    (out["verts"], out["cam_trans"],
-                     out["detection_flag"]))
-                if do_probe:
-                    from acr_tpu.viz.raster import render_overflow_probe
-                    per_frame = jax.lax.map(
-                        lambda vcd: render_overflow_probe(
-                            vcd[0], vcd[1], vcd[2], self.pipeline.faces,
-                            size=cfg.render_size,
-                            focal=float(cfg.focal_length),
-                            camera=self.visualizer.camera,
-                            fov_deg=float(cfg.FOV)),
-                        (out["verts"], out["cam_trans"],
-                         out["detection_flag"]))   # (B, 2)
-                    # chunk telemetry: worst tile across frames + total
-                    # overflowing tiles in the chunk
-                    out["_raster_overflow"] = jnp.stack(
-                        [per_frame[:, 0].max(), per_frame[:, 1].sum()])
+                out = _render_chunk(out)
+            out = _probe_reduce(out)
             return state, pack_outputs(out, self._chunk_spec,
                                        planar_rgba=True)
 
-        self._jit_chunk_step = jax.jit(_chunk_step, donate_argnums=(4, 5))
+        # NOTE: the filter state is NOT donated — its freshly-initialized
+        # pytree aliases the same zero buffer across leaves, and XLA
+        # rejects donating one buffer twice. The donated image/offsets
+        # free their HBM at execution; they can never ALIAS the packed
+        # f32 output (dtype/size mismatch), so XLA's "donated buffers
+        # were not usable" note is expected (filtered in infer.py at
+        # runtime and pyproject for pytest).
+        self._jit_stream_step = None
+        self._jit_chunk_step = None
+        self._fused_bypass_reason = None
+        if pl.mesh is None:
+            self._jit_stream_step = jax.jit(_stream_step,
+                                            donate_argnums=(4, 5))
+            self._jit_chunk_step = jax.jit(_chunk_step,
+                                           donate_argnums=(4, 5))
+            return
+
+        # Data-parallel mesh. The webcam STREAM step stays per-stage
+        # (batch-1 sequential; a mesh cannot help one frame in flight).
+        # The fused CHUNK step runs whenever frames are independent —
+        # folder/video mode without -t, the actual DP use case
+        # (VERDICT r4 item 1). With -t the OneEuro scan is sequential
+        # across frames, so the per-stage path keeps DP correct.
+        if do_temporal:
+            self._fused_bypass_reason = (
+                "data_parallel with -t: the OneEuro scan is sequential "
+                "across frames")
+            return
+        if cfg.val_batch_size % pl.mesh.size:
+            self._fused_bypass_reason = (
+                f"val_batch_size={cfg.val_batch_size} does not divide "
+                f"over the {pl.mesh.size}-device mesh")
+            return
+
+        # shard_map (not plain GSPMD jit) because the per-frame render
+        # is a lax.map: a scan over a batch-SHARDED axis would
+        # dynamic-slice across devices every iteration, while inside
+        # shard_map each device lax.maps over its own local frames and
+        # the overflow lax.cond stays a real per-frame branch.
+        from jax.sharding import PartitionSpec
+        from acr_tpu.parallel.mesh import replicated_sharding
+        axis = cfg.mesh_axes[0]
+
+        def _chunk_core(params, ml, mr, image, offsets):
+            out = forward_fn(pl.net, params, ml, mr, image, offsets, cfg,
+                             merge_params=pl.merge_params)
+            if do_render:
+                out = _render_chunk(out)
+            return out
+
+        # check_vma=False: the rasterizer's lax.scan carries start from
+        # unvarying constants (zeros/inf z-buffer) and become
+        # shard-varying on the first iteration, which the varying-axis
+        # checker rejects; every output here is intentionally
+        # per-shard-varying (batch axis), so the check buys nothing.
+        core = jax.shard_map(
+            _chunk_core, mesh=pl.mesh,
+            in_specs=(PartitionSpec(), PartitionSpec(), PartitionSpec(),
+                      PartitionSpec(axis), PartitionSpec(axis)),
+            out_specs=PartitionSpec(axis), check_vma=False)
+
+        def _chunk_step_dp(params, ml, mr, state, image, offsets):
+            out = core(params, ml, mr, image, offsets)
+            # probe reduction runs OUTSIDE shard_map on the gathered
+            # (B, 2) counts: global max/sum over the whole chunk
+            out = _probe_reduce(out)
+            return state, pack_outputs(out, self._chunk_spec,
+                                       planar_rgba=True)
+
+        rep = replicated_sharding(pl.mesh)
+        sb = pl._batch_sharding
+        self._jit_chunk_step = jax.jit(
+            _chunk_step_dp, donate_argnums=(4, 5),
+            in_shardings=(rep, rep, rep, rep, sb, sb),
+            out_shardings=rep)
 
     def stream_step(self, meta: Dict):
         """One fused device dispatch for the streaming loop (no sync).
@@ -509,7 +577,8 @@ class ACRApp:
         if not fused:
             # make the FPS cliff diagnosable from output: the per-stage
             # path pays 4-5 relay dispatches per chunk instead of one
-            why = ("data_parallel mesh" if self._jit_chunk_step is None
+            why = (self._fused_bypass_reason
+                   if self._jit_chunk_step is None
                    else "host translation solve"
                    if not self.cfg.jit_translation_solve
                    else "centermap aux view needs per-stage maps"

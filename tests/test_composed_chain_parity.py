@@ -123,15 +123,14 @@ def ref_env(tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
-def our_app(ref_env, tmp_path_factory):
-    """ACRApp with weights converted FROM the reference instance and
-    MANO npz converted FROM the same pkls the reference loaded."""
+def converted(ref_env, tmp_path_factory):
+    """Weights converted FROM the reference instance (flat dict — each
+    consumer unflattens its own copy, since ACRPipeline pops the parser
+    subtree out of the tree it is given) and MANO npz converted FROM
+    the same pkls the reference loaded."""
     from tools.convert_mano import main as convert_mano_main
     from tools.convert_checkpoint import convert_state_dict, \
         enumerate_flax_paths
-    from acr_tpu.io.params import unflatten_params
-    from acr_tpu.config import Config
-    from acr_tpu.pipeline.app import ACRApp
 
     npz_dir = str(tmp_path_factory.mktemp("mano_npz"))
     convert_mano_main(["--mano_dir", ref_env["pkl_dir"],
@@ -141,14 +140,26 @@ def our_app(ref_env, tmp_path_factory):
               for k, v in ref_env["model"].state_dict().items()}
     flat, _, missing = convert_state_dict(ref_sd, enumerate_flax_paths())
     assert not missing
-    params = unflatten_params(flat)
+    return {"npz_dir": npz_dir, "flat": flat}
 
-    cfg = Config(mano_model_path=npz_dir,
+
+def _build_app(converted, conf_thresh):
+    from acr_tpu.io.params import unflatten_params
+    from acr_tpu.config import Config
+    from acr_tpu.pipeline.app import ACRApp
+
+    cfg = Config(mano_model_path=converted["npz_dir"],
                  temporal_optimization=True,
                  save_visualization_on_img=False,
-                 centermap_conf_thresh=CONF_THRESH,
+                 centermap_conf_thresh=conf_thresh,
                  smooth_coeff=SMOOTH)
-    return ACRApp(cfg, params=params)
+    return ACRApp(cfg, params=unflatten_params(dict(converted["flat"])))
+
+
+@pytest.fixture(scope="module")
+def our_app(converted):
+    """ACRApp on the converted weights with detection forced."""
+    return _build_app(converted, CONF_THRESH)
 
 
 @pytest.fixture(scope="module")
