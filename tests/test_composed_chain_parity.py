@@ -136,7 +136,7 @@ def converted(ref_env, tmp_path_factory):
     convert_mano_main(["--mano_dir", ref_env["pkl_dir"],
                        "--out_dir", npz_dir])
 
-    ref_sd = {k: v.detach().numpy()
+    ref_sd = {k: v.detach().numpy().copy()       # .copy(): no live views
               for k, v in ref_env["model"].state_dict().items()}
     flat, _, missing = convert_state_dict(ref_sd, enumerate_flax_paths())
     assert not missing
@@ -182,7 +182,8 @@ def frames(rng):
     return [(magic, "magic.jpg"), (wide, "wide.jpg"), (tall, "tall.jpg")]
 
 
-def ref_chain(env, filters, bgr, path, temporal=True):
+def ref_chain(env, filters, bgr, path, temporal=True,
+              require_detection=True):
     """The reference per-frame stack, faithfully composed
     (acr/main.py:92-141: single_image_forward -> process_results)."""
     torch, utils = env["torch"], env["utils"]
@@ -196,7 +197,12 @@ def ref_chain(env, filters, bgr, path, temporal=True):
         utils.justify_detection_state(outputs["detection_flag"],
                                       outputs["reorganize_idx"])
     outputs["meta_data"]["imgpath"] = [path]
-    assert outputs["detection_flag"], "forced-low threshold must detect"
+    if require_detection:
+        assert outputs["detection_flag"], "forced-low threshold must detect"
+    elif not outputs["detection_flag"]:
+        # no hand at all: the reference emits the raw frame and an empty
+        # results entry, never running the wrapper (main.py:111-120)
+        return outputs, {path: {}}
     if temporal:                                  # main.py:69-83
         pd = outputs["params_dict"]
         for sid, flag in enumerate(outputs["detection_flag_cache"]):
@@ -335,3 +341,155 @@ def test_composed_chain_process_frame_parity(ref_env, our_app, frames,
                 ulp = float(np.spacing(np.float16(np.abs(w).max())))
                 assert np.abs(g - w).max() < tol + 2 * ulp, \
                     f"{path}/{key}: {np.abs(g - w).max():.2e}"
+
+
+# ------------------------------------------- missing-hand fallback chain
+
+@pytest.fixture(scope="module")
+def split_setup(ref_runs):
+    """A weight-space perturbation that makes detection genuinely vary.
+
+    Why a bias shift and not a threshold between the two maps' maxima:
+    random-init center maps are ALL-NEGATIVE, and the reference NMS
+    keeps `det * (maxm == det)` (acr/result_parser.py:209-216) — the
+    suppressed pixels become 0.0 > every negative peak, so the top-1
+    score of the K=1 adaptive-scale parse (result_parser.py:218-243)
+    is 0.0 for BOTH hands on EVERY frame; no confidence threshold can
+    split them. Shifting a center head's final-conv bias
+    (l/r_final_layers[2][-1], a biased 1x1 conv — acr/model.py:310-311)
+    moves that hand's whole map uniformly: argmax, NMS structure,
+    sampled locations and params are all unchanged, only the detection
+    score moves — and the same shift flows through the checkpoint
+    converter into our stack, so both stacks decide identically.
+
+    One hand is pinned always-detected (min peak shifted to 1.0); the
+    other straddles a 0.5 threshold — its lowest-peak frame lands below,
+    the rest above, and the frames are ordered detected -> missing ->
+    detected so the miss pins OneEuro state preservation ACROSS it."""
+    l_peaks = np.array([float(o["l_center_map"].max()) for o, _ in ref_runs])
+    r_peaks = np.array([float(o["r_center_map"].max()) for o, _ in ref_runs])
+    peak_gap = lambda p: float(np.sort(p)[1] - np.sort(p)[0])
+    # straddler = hand with the larger gap between its two lowest
+    # per-frame peaks (the decision margin at the 0.5 threshold)
+    straddle = 0 if peak_gap(l_peaks) > peak_gap(r_peaks) else 1
+    sp = (l_peaks, r_peaks)[straddle]
+    pinned = (l_peaks, r_peaks)[1 - straddle]
+    order = np.argsort(sp)
+    lo, second = float(sp[order[0]]), float(sp[order[1]])
+    # both stacks' peaks agree to ~1e-6 (TOLS preamble); >=1e-3 margin
+    # on each side of 0.5 keeps the detection decisions identical
+    assert second - lo > 2e-3, f"peaks too close to split: {sp}"
+    shifts = [0.0, 0.0]
+    shifts[straddle] = 0.5 - (lo + second) / 2.0
+    shifts[1 - straddle] = 1.0 - float(pinned.min())
+    frame_order = [int(order[1]), int(order[0]), int(order[2])]
+    expected = []
+    for i in frame_order:
+        f = [True, True]
+        f[straddle] = bool(sp[i] + shifts[straddle] > 0.5)
+        expected.append(f)
+    assert [sum(f) for f in expected] == [2, 1, 2], expected
+    return {"shifts": shifts, "frame_order": frame_order,
+            "expected": expected}
+
+
+def test_composed_chain_missing_hand(ref_env, converted, frames, ref_runs,
+                                     split_setup):
+    """Full-chain parity with one hand genuinely undetected (round-5
+    item): per-slot flags, the idx-0 fallback params through
+    MANOWrapper, smoothing SKIPPED for the missing slot with its filter
+    state preserved (main.py:69-83 — pinned by the detected ->
+    missing -> detected frame order), and the reorganize_results
+    filtering. The one reference fallback path previously covered only
+    at parser level with stub nets."""
+    from tools.convert_checkpoint import convert_state_dict, \
+        enumerate_flax_paths
+    from acr_tpu.pipeline.preprocess import img_preprocess
+    from acr_tpu.pipeline.temporal import init_two_hand_filter
+
+    utils, model = ref_env["utils"], ref_env["model"]
+    parser = model._result_parser.centermap_parser
+    old_thresh, parser.conf_thresh = parser.conf_thresh, 0.5
+    biases = [model.l_final_layers[2][-1].bias,
+              model.r_final_layers[2][-1].bias]
+    seq = [frames[i] for i in split_setup["frame_order"]]
+    try:
+        for b, s in zip(biases, split_setup["shifts"]):
+            b.data += s
+        filters = {0: utils.create_OneEuroFilter(SMOOTH),
+                   1: utils.create_OneEuroFilter(SMOOTH)}
+        ref_out = [ref_chain(ref_env, filters, bgr, path,
+                             require_detection=False)
+                   for bgr, path in seq]
+        # .copy(): detach().numpy() VIEWS the live torch storage, and the
+        # finally-block un-shift below would silently revert the
+        # converted weights before our app ever runs
+        ref_sd = {k: v.detach().numpy().copy()
+                  for k, v in model.state_dict().items()}
+        flat, _, missing = convert_state_dict(ref_sd, enumerate_flax_paths())
+        assert not missing
+    finally:
+        for b, s in zip(biases, split_setup["shifts"]):
+            b.data -= s
+        parser.conf_thresh = old_thresh
+
+    app = _build_app({"npz_dir": converted["npz_dir"], "flat": flat}, 0.5)
+    app.filter_state = init_two_hand_filter()
+    for (bgr, path), (out_ref, ref_results), expected in zip(
+            seq, ref_out, split_setup["expected"]):
+        meta = img_preprocess(bgr, path, input_size=512)
+        out = app.unpack_stream(app.stream_step(meta))
+        ref_flags = [bool(f) for f in out_ref["detection_flag_cache"]]
+        assert ref_flags == expected, path   # the designed scenario occurs
+        got_flags = np.asarray(out["detection_flag"][0]).tolist()
+        assert got_flags == ref_flags, path
+
+        # whole-slot parity INCLUDING the undetected slot's idx-0
+        # fallback params after wrapper + (skipped) smoothing
+        pd = out_ref["params_dict"]
+        for key, want in {
+            "poses": pd["poses"].numpy(),
+            "betas": pd["betas"].numpy(),
+            "cam": pd["cam"].numpy(),
+            "verts": _ref_stack(out_ref, "verts"),
+            "pj2d_org": _ref_stack(out_ref, "pj2d_org"),
+            "cam_trans": _ref_stack(out_ref, "cam_trans"),
+        }.items():
+            got = np.asarray(out[key][0], np.float64)
+            err = np.abs(got - np.asarray(want, np.float64)).max()
+            assert err < TOLS[key], f"{path}/{key}: {err:.2e}"
+
+        # results-dict filtering: only detected hands appear, left
+        # before right, with their own values
+        ours = reorganize_like_app(app, out, path)
+        assert set(ours) == set(ref_results) == {path}
+        ref_hands, our_hands = ref_results[path], ours[path]
+        assert len(our_hands) == len(ref_hands) == sum(ref_flags)
+        for got, want in zip(our_hands, ref_hands):
+            assert int(got["hand_type"]) == int(want["hand_type"]), path
+            for key in ("verts", "cam_trans", "pj2d_org", "poses"):
+                g = np.asarray(got[key], np.float64)
+                w = np.asarray(want[key], np.float64)
+                ulp = float(np.spacing(np.float16(np.abs(w).max())))
+                assert np.abs(g - w).max() < TOLS[key] + 2 * ulp, \
+                    f"{path}/{key}: {np.abs(g - w).max():.2e}"
+            if sum(ref_flags) == 2:
+                assert bool(got["detection_flag_cache"]) == \
+                    bool(want["detection_flag_cache"])
+            else:
+                # Reference quirk NOT replicated: reorganize_results
+                # filters every value array by `detected` but indexes
+                # the UNfiltered flag array with the POST-filter
+                # position (acr/utils.py:1228,1254), so the single
+                # surviving hand is always reported under slot 0's
+                # (left's) flag, whichever hand survived. Ours reports
+                # the hand's own flag.
+                assert bool(got["detection_flag_cache"]) is True
+                assert bool(want["detection_flag_cache"]) is ref_flags[0]
+
+
+def reorganize_like_app(app, out, path):
+    """The app's reorganize tail on an unpacked stream-step output
+    (process_frame's post-readback path, pipeline/results.py)."""
+    from acr_tpu.pipeline.results import reorganize_results
+    return reorganize_results(out, [path])
