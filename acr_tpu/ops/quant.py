@@ -120,13 +120,37 @@ def observe_clone(net):
 
 
 def default_calibration_frames(input_size: int):
-    """Synthetic load-time calibration set: uniform noise (near-extreme
-    activations through the normalize) + mid-gray. Enough to bound
-    ranges structurally; pass real frames for production scales."""
+    """Synthetic structural-bound calibration set: uniform noise
+    (near-extreme activations through the normalize) + mid-gray. The
+    LAST-RESORT default — committed_calibration_frames (real frames)
+    is preferred when its artifact exists."""
     r = np.random.RandomState(0)
     return [r.randint(0, 255, (1, input_size, input_size, 3)
                       ).astype(np.uint8),
             np.full((1, input_size, input_size, 3), 127, np.uint8)]
+
+
+def committed_calibration_frames(input_size: int):
+    """The committed REAL-frame default calibration set
+    (model_data/calib/calib_frames.npz: preprocessed variants of the
+    reference demo photo + the two synthetic structural bounds, built
+    by tools/make_calib_frames.py). Returns a list of (1, S, S, 3)
+    uint8 batches, or None when the artifact is absent or was built
+    for a different input size (callers then fall back to
+    default_calibration_frames)."""
+    import os
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "model_data", "calib", "calib_frames.npz")
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        frames = np.asarray(z["frames"], np.uint8)
+    if frames.ndim != 4 or frames.shape[1] != input_size \
+            or frames.shape[2] != input_size:
+        return None
+    return [frames[i:i + 1] for i in range(frames.shape[0])]
 
 
 def quantize_for_net(net, params: Dict, images=None,
@@ -134,7 +158,8 @@ def quantize_for_net(net, params: Dict, images=None,
                      per_channel: bool = False,
                      weight_bits: int = 8) -> Dict:
     """One-call W8A8 quantization for an ACRNet: build the observe
-    clone, calibrate activation scales over ``images`` (default:
+    clone, calibrate activation scales over ``images`` (default: the
+    committed real-frame set, falling back to the synthetic
     ``default_calibration_frames``), quantize weights. The single
     entry point shared by ACRPipeline.calibrate and the bench/profile
     builders, so the calibration recipe cannot diverge between the
@@ -143,7 +168,8 @@ def quantize_for_net(net, params: Dict, images=None,
     int8 conv (values in [-7,7]), so it is exactly as fast as 'int8' —
     measured verdict in docs/PERFORMANCE.md's quantization ledger."""
     if images is None:
-        images = default_calibration_frames(input_size)
+        images = committed_calibration_frames(input_size) \
+            or default_calibration_frames(input_size)
     stats = calibrate_amax(observe_clone(net), params, images)
     return quantize_tree_int8(params, stats, per_channel=per_channel,
                               weight_bits=weight_bits)

@@ -211,8 +211,8 @@ class ACRPipeline:
                 self.params)
         if cfg.quantize.startswith(("int8", "int4")):
             # W8A8 backbone+segm (ops/quant.py): default calibration on
-            # synthetic frames at load; call .calibrate(real_frames)
-            # before serving for production-quality activation scales
+            # the committed real-frame set at load (synthetic fallback);
+            # call .calibrate(real_frames) for deployment-specific scales
             self._float_params = self.params
             self.calibrate()
         self.mano_l, faces_l = load_mano_model(cfg.mano_model_path, "left")
@@ -326,24 +326,37 @@ class ACRPipeline:
         scales on ``images`` (list of uint8 (B,S,S,3) frames) and
         re-quantize weights from the retained float tree.
 
-        Default calibration uses two synthetic frames (uniform noise +
-        mid-gray) — enough to bound activation ranges structurally;
-        pass a handful of real frames before serving for tighter
-        scales (ops/quant.py).
+        Default calibration uses the committed real-frame set
+        (model_data/calib — reference demo photo variants + the two
+        synthetic structural bounds; tools/make_calib_frames.py),
+        falling back to the synthetic-only pair when the artifact is
+        absent. Pass deployment frames for scenario-specific scales
+        (ops/quant.py).
         """
         assert self.cfg.quantize.startswith(("int8", "int4")), \
             "calibrate() needs quantize=int8|int8_pc|int8_r|int4w"
+        from acr_tpu.ops.quant import committed_calibration_frames, \
+            quantize_for_net
         if images is None:
-            # make the implicit fallback visible to operators: serving
-            # with synthetic-frame scales clips real activations outside
-            # the synthetic range with no other signal (ADVICE r2)
             import logging
-            logging.getLogger("acr_tpu").warning(
-                "int8 activation scales calibrated on SYNTHETIC frames "
-                "(uniform noise + mid-gray); call "
-                "ACRPipeline.calibrate(real_frames) before production "
-                "serving for representative scales (ops/quant.py)")
-        from acr_tpu.ops.quant import quantize_for_net
+            if committed_calibration_frames(self.cfg.input_size) is None:
+                # make the implicit fallback visible to operators:
+                # serving with synthetic-frame scales clips real
+                # activations outside the synthetic range with no other
+                # signal (ADVICE r2)
+                logging.getLogger("acr_tpu").warning(
+                    "int8 activation scales calibrated on SYNTHETIC "
+                    "frames (uniform noise + mid-gray); call "
+                    "ACRPipeline.calibrate(real_frames) before "
+                    "production serving for representative scales "
+                    "(ops/quant.py)")
+            else:
+                logging.getLogger("acr_tpu").info(
+                    "int8 activation scales calibrated on the committed "
+                    "real-frame set (model_data/calib, "
+                    "tools/make_calib_frames.py); call "
+                    "ACRPipeline.calibrate(real_frames) to recalibrate "
+                    "for a specific deployment")
         self.params = quantize_for_net(
             self.net, self._float_params, images=images,
             input_size=self.cfg.input_size,

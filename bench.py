@@ -39,8 +39,27 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
+V5E_PEAK_BF16_TFLOPS = 197.0     # per-chip MXU peak (public v5e spec)
+V5E_PEAK_HBM_GBPS = 819.0        # per-chip HBM bandwidth (public spec)
+
+
+def _cost_analysis(compiled):
+    """FLOPs / bytes-accessed of a compiled program from XLA's own cost
+    model, so the roofline claim in docs/PERFORMANCE.md is re-checkable
+    from the bench artifact every round (round-4 review item 6).
+    Returns {} when the backend doesn't expose cost analysis."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):      # older jax: one per device
+            ca = ca[0]
+        return {"flops": float(ca.get("flops", 0.0)),
+                "bytes": float(ca.get("bytes accessed", 0.0))}
+    except Exception:
+        return {}
+
+
 def _measure(precision: str, batch: int, iters: int,
-             quantize: str = "none"):
+             quantize: str = "none", roofline: bool = False):
     import jax
     import numpy as np
     import __graft_entry__ as ge
@@ -81,11 +100,28 @@ def _measure(precision: str, batch: int, iters: int,
     force(out)                          # timed region ENDS with a readback
     dt_raw = time.perf_counter() - t0
     dt = max(dt_raw - readback_s, 1e-9)
-    return {
+    r = {
         "fps": round(iters * batch / dt, 2),
         "fps_uncorrected": round(iters * batch / dt_raw, 2),
         "readback_ms": round(readback_s * 1e3, 1),
     }
+    if roofline:
+        ca = _cost_analysis(jfn.lower(img_d, off_d).compile())
+        if ca:
+            steps_per_s = r["fps"] / batch
+            tflops = ca["flops"] * steps_per_s / 1e12
+            gbps = ca["bytes"] * steps_per_s / 1e9
+            r["roofline"] = {
+                "gflops_per_step": round(ca["flops"] / 1e9, 1),
+                "hbm_gb_per_step": round(ca["bytes"] / 1e9, 2),
+                "achieved_tflops": round(tflops, 1),
+                "mxu_util_pct": round(100 * tflops
+                                      / V5E_PEAK_BF16_TFLOPS, 1),
+                "apparent_hbm_gbps": round(gbps, 0),
+                "hbm_bound": bool(gbps / V5E_PEAK_HBM_GBPS
+                                  > tflops / V5E_PEAK_BF16_TFLOPS),
+            }
+    return r
 
 
 def _build_stream_app(precision: str = "fp32", quantize: str = "none",
@@ -363,7 +399,7 @@ def main():
         fps = r["fps"]
     else:
         reps = int(os.environ.get("ACR_BENCH_REPS", "5"))
-        hot = _measure("bf16", 8, iters)
+        hot = _measure("bf16", 8, iters, roofline=True)
         # demo-default latency config: median of `reps` repetitions —
         # b1 is dispatch-dominated and a single rep wanders ~1.4x
         # through the relayed transport (round-2 review item 6)
@@ -378,6 +414,11 @@ def main():
             "bf16_b8_fps_uncorrected": hot["fps_uncorrected"],
             "readback_ms": hot["readback_ms"],
         }
+        if "roofline" in hot:
+            # XLA cost-analysis FLOPs/bytes + achieved TFLOP/s for the
+            # headline program, so the "at the HBM ceiling" claim in
+            # docs/PERFORMANCE.md is re-checkable per round (r4 item 6)
+            extra["roofline"] = hot["roofline"]
         # the BASELINE.md webcam-latency target: fused b1 stream step
         # (forward + OneEuro + refine + render) across every shipping
         # latency-path variant. Each variant fails independently into a

@@ -137,6 +137,26 @@ def test_pipeline_int8_calibrate(rng):
         assert np.isfinite(np.asarray(out[key])).all(), key
 
 
+def test_committed_calibration_set():
+    """The committed real-frame default calibration artifact
+    (model_data/calib, tools/make_calib_frames.py): loads as (1,S,S,3)
+    uint8 batches at 512, returns None at other sizes (synthetic
+    fallback), and includes the two synthetic structural bounds so
+    out-of-distribution inputs stay inside the calibrated ranges."""
+    from acr_tpu.ops.quant import committed_calibration_frames
+
+    frames = committed_calibration_frames(512)
+    assert frames is not None and len(frames) >= 6
+    for f in frames:
+        assert f.shape == (1, 512, 512, 3) and f.dtype == np.uint8
+    # structural bounds present: one near-extreme-range frame (uniform
+    # noise spans ~0..254) and one constant mid-gray frame
+    spans = [int(f.max()) - int(f.min()) for f in frames]
+    assert max(spans) >= 250 and min(spans) == 0, spans
+    # other input sizes fall back (pipeline then warns + uses synthetic)
+    assert committed_calibration_frames(128) is None
+
+
 def test_int8_output_space_error_budget(rng):
     """Pin the int8 error budget IN OUTPUT SPACE (the space users
     consume), mirroring tools/quant_accuracy.py: with frame

@@ -15,10 +15,11 @@ maps:
 * camera / translation drift.
 
 Evaluated for each quant mode under two calibration recipes:
-(a) DEFAULT — the load-time synthetic frames (uniform noise +
-mid-gray, ops/quant.py:default_calibration_frames); (b) FRAMES — the
-evaluation frames themselves (the production recipe:
-``ACRPipeline.calibrate(real_frames)``).
+(a) DEFAULT — whatever load-time calibration resolves to (the
+COMMITTED real-frame set model_data/calib when present —
+ops/quant.committed_calibration_frames — else the synthetic
+noise+mid-gray pair); (b) FRAMES — the evaluation frames themselves
+(the deployment-specific recipe: ``ACRPipeline.calibrate(frames)``).
 
 Frames: ``/root/reference/demo/magic.jpg`` (a real two-hand photo)
 when the reference tree is present, plus deterministic synthetic
