@@ -363,6 +363,33 @@ def render_hands(verts: jnp.ndarray,
         # flat kernel for THIS frame instead of silently dropping
         # faces; only the taken branch executes.
         cap = bin_cap_for(size)
+        if size >= 1024 and f_total > 128:
+            # high-resolution path: the TWO-LEVEL banded kernel. At
+            # 2048px the single-level prestage's (T, 32, cap) face-row
+            # gather dominates the render (10.3 ms gather + 3.3 ms
+            # relayout of the 40.5 ms fused step); banding gathers face
+            # data once per 256px row band and tiles carry only int32
+            # slot indices (raster_pallas._raster_kernel_banded).
+            # Exactness gate mirrors the tier logic: a frame whose
+            # tiles exceed ``cap`` OR whose bands exceed ``band_cap``
+            # takes the flat kernel instead of dropping faces.
+            from acr_tpu.viz.raster_pallas import (banded_overflow_stats,
+                                                   rasterize_pallas_banded)
+            band_cap = 2048
+            mx_t, mx_b = banded_overflow_stats(screen, all_faces, size,
+                                               size, band_h=256)
+            idx = ((mx_t > cap) | (mx_b > min(band_cap, f_total))
+                   ).astype(jnp.int32)
+            out = jax.lax.switch(idx, [
+                lambda s, f: rasterize_pallas_banded(
+                    s, f, size, size, band_cap=band_cap, bin_cap=cap,
+                    band_h=256, interpret=interpret, attrs=attrs),
+                lambda s, f: rasterize_pallas(s, f, size, size,
+                                              interpret=interpret,
+                                              attrs=attrs),
+            ], screen, all_faces)
+            face_id, bary, attr_img = out
+            return shade_from_attrs(face_id, bary, attr_img, planar=planar)
         tiers = [c for c in (128, 256, 512) if c <= cap and c < f_total]
         if tiers:
             mx, _ = bin_overflow_stats(screen, all_faces, size, size,

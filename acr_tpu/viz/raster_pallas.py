@@ -292,6 +292,346 @@ def _raster_kernel_binned(nc_ref, tri_ref, inv_ref, ids_ref, *rest,
             nc, col_tile)
 
 
+def _raster_kernel_banded(tilenc_ref, fetchnc_ref, table_ref, ids_ref,
+                          *rest, n_chunks: int, band_chunks: int,
+                          col_tile: int, with_attrs: bool):
+    """Two-level (banded) variant: per-ROW-BAND face tables + per-tile
+    SLOT-ID lists; face rows are fetched in-kernel from the band table.
+
+    The cap-512 binned kernel's cost at high resolution is not the
+    pixel/face sweep — it is the PRESTAGE gather materializing
+    (T, 32, cap) face rows through HBM (10.3 ms of the 40.5 ms 2048px
+    fused step, plus 3.3 ms relayout; tools/profile_stream.py). Here
+    the prestage gathers face DATA only per band (n_bands tables of
+    (R, band_cap) — ~2 MB instead of 134 MB) and per tile only int32
+    slot indices into the band table (4 B/slot instead of 128 B). The
+    kernel reconstructs each chunk's face rows with the exact one-hot
+    MXU contraction (same argument as _attr_pick_fold: one-hot x value
+    under Precision.HIGHEST accumulates bit-exactly).
+
+    Why this does NOT re-introduce the O(F) sweep that killed the
+    earlier ids-only experiment (measured 40.5 -> 59.8 ms and
+    reverted, docs/PERFORMANCE.md): that fetch contracted over the
+    FULL padded face table (K = F_pad = 3200) for every 128-id chunk.
+    Here the contraction is (a) over the band table (K = band_cap)
+    and (b) dynamically bounded per tile by ``fetchnc_ref`` — the
+    chunk count covering this tile's HIGHEST band slot (slot lists
+    are ascending, so that bound is exact) — i.e. the fetch cost
+    scales with the band's LIVE face count, not with F.
+
+    tilenc_ref:  (T,) int32 scalar-prefetch — per-tile live chunk
+                 count for the z-fold bound (as in the binned kernel).
+    fetchnc_ref: (T,) int32 scalar-prefetch — per-tile BAND-chunk
+                 bound for the fetch and attr folds.
+    table_ref:   (1, R, band_cap) this tile's band table; rows 0..8 =
+                 triangle, 9 = inverse area, 10 = global face id (f32,
+                 exact for ids < 2^24), 11..15 pad, 16..31 = attribute
+                 rows when with_attrs.
+    ids_ref:     (1, 1, cap) int32 band-slot indices, ascending;
+                 dead slots hold band_cap (matches no one-hot lane).
+    """
+    if with_attrs:
+        fid_ref, b0_ref, b1_ref, attr_out_ref = rest
+    else:
+        fid_ref, b0_ref, b1_ref = rest
+    tile_r = pl.program_id(0)
+    tile_c = pl.program_id(1)
+    px = (jax.lax.broadcasted_iota(
+        jnp.int32, (ROW_TILE, col_tile), 1).astype(jnp.float32)
+        + tile_c * col_tile + 0.5)
+    py = (jax.lax.broadcasted_iota(
+        jnp.int32, (ROW_TILE, col_tile), 0).astype(jnp.float32)
+        + tile_r * ROW_TILE + 0.5)
+    width = col_tile
+    t = tile_r * pl.num_programs(1) + tile_c
+    nc = jnp.minimum(tilenc_ref[t], n_chunks)
+    fnc = jnp.minimum(fetchnc_ref[t], band_chunks)
+
+    def chunk_step(ci, carry):
+        if with_attrs:
+            zbuf, fid, b0c, b1c, slotc = carry
+        else:
+            (zbuf, fid, b0c, b1c), slotc = carry, None
+        sl = pl.multiple_of(ci * FACE_CHUNK, FACE_CHUNK)
+        slots = ids_ref[0, 0, pl.ds(sl, FACE_CHUNK)]          # (128,)
+        slot_row = slots[None, :]
+
+        def fetch_step(bc, acc):
+            bsl = pl.multiple_of(bc * FACE_CHUNK, FACE_CHUNK)
+            sub = jax.lax.broadcasted_iota(
+                jnp.int32, (FACE_CHUNK, FACE_CHUNK), 0)
+            onehot = (sub == slot_row - bsl).astype(jnp.float32)
+            rows = table_ref[0, :16, pl.ds(bsl, FACE_CHUNK)]  # (16, 128)
+            return acc + jax.lax.dot_general(
+                rows, onehot, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
+        fetched = jax.lax.fori_loop(
+            0, fnc, fetch_step, jnp.zeros((16, FACE_CHUNK), jnp.float32))
+        ax, ay, az = fetched[0], fetched[1], fetched[2]
+        bx, by, bz = fetched[3], fetched[4], fetched[5]
+        cx, cy, cz = fetched[6], fetched[7], fetched[8]
+        inv = fetched[9]
+        gids = fetched[10].astype(jnp.int32)   # exact: ids < 2^24
+        # dead slots (sentinel band_cap) fetch all-zero columns ->
+        # inv == 0 -> inside False -> depth inf -> can never win
+
+        gx = px[:, :, None]
+        gy = py[:, :, None]
+        w0 = ((cx - bx)[None, None, :] * (gy - by[None, None, :])
+              - (cy - by)[None, None, :] * (gx - bx[None, None, :])) \
+            * inv[None, None, :]
+        w1 = ((ax - cx)[None, None, :] * (gy - cy[None, None, :])
+              - (ay - cy)[None, None, :] * (gx - cx[None, None, :])) \
+            * inv[None, None, :]
+        w2 = 1.0 - w0 - w1
+        inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+                  & (inv != 0.0)[None, None, :])
+        depth = (w0 * az[None, None, :] + w1 * bz[None, None, :]
+                 + w2 * cz[None, None, :])
+        depth = jnp.where(inside, depth, jnp.inf)
+
+        best = jnp.argmin(depth, axis=-1)                     # (8, W)
+        lane = jax.lax.broadcasted_iota(jnp.int32,
+                                        (ROW_TILE, width, FACE_CHUNK), 2)
+        onehot = lane == best[..., None]
+        best_z = jnp.min(depth, axis=-1)
+        pickf = lambda w: jnp.sum(jnp.where(onehot, w, 0.0), axis=-1)
+        picki = lambda v: jnp.sum(
+            jnp.where(onehot, v[None, None, :], 0), axis=-1)
+        win = best_z < zbuf
+        zbuf = jnp.where(win, best_z, zbuf)
+        fid = jnp.where(win, picki(gids), fid)
+        b0c = jnp.where(win, pickf(w0), b0c)
+        b1c = jnp.where(win, pickf(w1), b1c)
+        if not with_attrs:
+            return zbuf, fid, b0c, b1c
+        # the winner's BAND slot keys the post-fold attr pick
+        slotc = jnp.where(win, picki(slots), slotc)
+        return zbuf, fid, b0c, b1c, slotc
+
+    init = (jnp.full((ROW_TILE, col_tile), jnp.inf, jnp.float32),
+            jnp.full((ROW_TILE, col_tile), -1, jnp.int32),
+            jnp.zeros((ROW_TILE, col_tile), jnp.float32),
+            jnp.zeros((ROW_TILE, col_tile), jnp.float32))
+    if with_attrs:
+        init = init + (jnp.full((ROW_TILE, col_tile), -1, jnp.int32),)
+    out = jax.lax.fori_loop(0, nc, chunk_step, init)
+    fid_ref[:] = out[1]
+    b0_ref[:] = out[2]
+    b1_ref[:] = out[3]
+    if with_attrs:
+        attr_out_ref[0] = _attr_pick_fold(
+            out[4], lambda sl: table_ref[0, 16:, pl.ds(sl, FACE_CHUNK)],
+            fnc, col_tile)
+
+
+def _bin_faces_banded(full_rows: jnp.ndarray, xmin, xmax, ymin, ymax,
+                      live, height: int, width: int, col_tile: int,
+                      band_h: int, band_cap: int, cap: int):
+    """Two-level binning prestage for _raster_kernel_banded.
+
+    full_rows (R, F) per-face rows (geometry + inv + gid [+ attrs]);
+    xmin/xmax/ymin/ymax/live (F,) face bboxes and liveness.
+
+    Level 1: faces -> horizontal ROW BANDS of ``band_h`` px by y-bbox
+    overlap; gather each band's compact face table (n_bands, R,
+    band_cap) — the ONLY face-data gather, ~2 MB at 2048px vs the
+    single-level prestage's 134 MB (T, 32, cap) gather.
+    Level 2: within each band, faces -> (8 x col_tile) tiles by bbox
+    overlap against the BAND's bboxes; per tile only the int32 slot
+    indices into the band table are kept (ascending = band order =
+    global face-id order, so winner ties stay bit-identical), dead
+    slots hold the sentinel ``band_cap``.
+
+    Returns (table, ids_t, tilenc, fetchnc): the band tables, the
+    (T, 1, cap) slot lists, the per-tile live CHUNK counts bounding
+    the z-fold, and the per-tile BAND-chunk counts bounding the
+    fetch/attr folds (ceil((highest slot + 1) / FACE_CHUNK), exact
+    because slot lists are ascending).
+
+    Overflow contract mirrors _bin_faces: a band (tile) whose overlap
+    count exceeds band_cap (cap) drops the highest-id faces — callers
+    gate on banded_overflow_stats and fall back to the flat kernel.
+    """
+    n_bands = height // band_h
+    tpb_y = band_h // ROW_TILE
+    n_tx = width // col_tile
+    by = jnp.arange(n_bands, dtype=jnp.float32) * band_h
+    band_hit = ((ymin[None, :] <= by[:, None] + band_h)
+                & (ymax[None, :] >= by[:, None])
+                & live[None, :])                         # (nb, F)
+    border = jnp.argsort(~band_hit, axis=1,
+                         stable=True)[:, :band_cap]      # (nb, band_cap)
+    bcounts = jnp.minimum(band_hit.sum(axis=1),
+                          band_cap).astype(jnp.int32)
+    bslot_live = (jnp.arange(band_cap, dtype=jnp.int32)[None, :]
+                  < bcounts[:, None])                    # (nb, band_cap)
+
+    table = full_rows.T[border].transpose(0, 2, 1)       # (nb, R, band_cap)
+    # dead band slots: inverse area -> 0 (can never win), gid -> -1
+    table = table.at[:, 9, :].multiply(bslot_live)
+    table = table.at[:, 10, :].set(
+        jnp.where(bslot_live, table[:, 10, :], -1.0))
+
+    # level 2 against the BAND's bboxes (small gathers: 4 floats/slot)
+    xmin_b, xmax_b = xmin[border], xmax[border]          # (nb, band_cap)
+    ymin_b, ymax_b = ymin[border], ymax[border]
+    ty = (by[:, None]
+          + jnp.arange(tpb_y, dtype=jnp.float32)[None, :] * ROW_TILE)
+    y_hit = ((ymin_b[:, None, :] <= ty[..., None] + ROW_TILE)
+             & (ymax_b[:, None, :] >= ty[..., None]))    # (nb, ty, cap)
+    tx = jnp.arange(n_tx, dtype=jnp.float32) * col_tile
+    x_hit = ((xmin_b[:, None, :] <= tx[None, :, None] + col_tile)
+             & (xmax_b[:, None, :] >= tx[None, :, None]))  # (nb, tx, cap)
+    ov = (y_hit[:, :, None, :] & x_hit[:, None, :, :]
+          & bslot_live[:, None, None, :])
+    ov = ov.reshape(n_bands * tpb_y * n_tx, band_cap)    # (T, band_cap)
+
+    order_t = jnp.argsort(~ov, axis=1, stable=True)[:, :cap]   # (T, cap)
+    counts_t = jnp.minimum(ov.sum(axis=1), cap).astype(jnp.int32)
+    slot_live = (jnp.arange(cap, dtype=jnp.int32)[None, :]
+                 < counts_t[:, None])
+    ids_t = jnp.where(slot_live, order_t.astype(jnp.int32), band_cap)
+    tilenc = (counts_t + FACE_CHUNK - 1) // FACE_CHUNK
+    # highest live slot per tile (ascending order) -> exact fetch bound
+    max_slot = jnp.take_along_axis(
+        order_t, jnp.maximum(counts_t - 1, 0)[:, None], axis=1)[:, 0]
+    fetchnc = jnp.where(counts_t > 0,
+                        max_slot.astype(jnp.int32) // FACE_CHUNK + 1, 0)
+    return table, ids_t[:, None, :], tilenc, fetchnc
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "col_tile",
+                                             "band_h"))
+def banded_overflow_stats(verts_screen: jnp.ndarray, faces: jnp.ndarray,
+                          height: int, width: int,
+                          col_tile: int = COL_TILE, band_h: int = 256):
+    """(max faces per tile, max faces per band) for the banded kernel's
+    two fixed capacities — same bbox-overlap counts the prestage
+    computes, no kernel run. Callers gate the banded branch on both."""
+    f_total = faces.shape[0]
+    tri = verts_screen[faces]
+    xs, ys = tri[:, :, 0], tri[:, :, 1]
+    xmin, xmax = xs.min(1), xs.max(1)
+    ymin, ymax = ys.min(1), ys.max(1)
+    area = ((xs[:, 1] - xs[:, 0]) * (ys[:, 2] - ys[:, 0])
+            - (xs[:, 2] - xs[:, 0]) * (ys[:, 1] - ys[:, 0]))
+    live = jnp.abs(area) >= 1e-9
+    ct = min(col_tile, width)
+    ty = jnp.arange(height // ROW_TILE, dtype=jnp.float32) * ROW_TILE
+    tx = jnp.arange(width // ct, dtype=jnp.float32) * ct
+    y_hit = (ymin[None] <= ty[:, None] + ROW_TILE) & (ymax[None] >= ty[:, None])
+    x_hit = (xmin[None] <= tx[:, None] + ct) & (xmax[None] >= tx[:, None])
+    t_counts = jnp.sum(
+        (y_hit[:, None, :] & x_hit[None, :, :] & live[None, None, :]),
+        axis=-1).reshape(-1)
+    by = jnp.arange(height // band_h, dtype=jnp.float32) * band_h
+    b_hit = ((ymin[None] <= by[:, None] + band_h)
+             & (ymax[None] >= by[:, None]) & live[None])
+    return t_counts.max(), b_hit.sum(axis=1).max()
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "band_cap",
+                                             "bin_cap", "band_h",
+                                             "interpret"))
+def rasterize_pallas_banded(verts_screen: jnp.ndarray, faces: jnp.ndarray,
+                            height: int, width: int, band_cap: int = 2048,
+                            bin_cap: int = 512, band_h: int = 256,
+                            interpret: bool = False, attrs=None):
+    """Two-level binned rasterizer: same output contract as
+    rasterize_pallas_binned, built for HIGH resolutions where the
+    single-level prestage's (T, 32, cap) face-row gather dominates
+    (measured 10.3 ms gather + 3.3 ms relayout of the 40.5 ms 2048px
+    fused step). Faces are gathered once per ROW BAND; tiles carry
+    only slot indices; the kernel fetches rows via the exact one-hot
+    MXU contraction, dynamically bounded by each tile's highest band
+    slot (see _raster_kernel_banded).
+
+    Bit-identical to rasterize_pallas while no tile exceeds
+    ``bin_cap`` AND no band exceeds ``band_cap`` (gate on
+    banded_overflow_stats); beyond either capacity the highest-id
+    faces are dropped, mirroring the single-level overflow contract.
+    """
+    f_total = faces.shape[0]
+    assert f_total % FACE_CHUNK == 0
+    assert bin_cap % FACE_CHUNK == 0 and band_cap % FACE_CHUNK == 0
+    assert height % band_h == 0 and band_h % ROW_TILE == 0
+    band_cap = min(band_cap, f_total)
+    bin_cap = min(bin_cap, band_cap)
+    col_tile = min(COL_TILE, width)
+    assert width % col_tile == 0
+    n_ty, n_tx = height // ROW_TILE, width // col_tile
+    n_chunks = bin_cap // FACE_CHUNK
+    band_chunks = band_cap // FACE_CHUNK
+    with_attrs = attrs is not None
+
+    tri = verts_screen[faces]                        # (F, 3, 3)
+    tri_rows = tri.transpose(1, 2, 0).reshape(9, f_total)
+    xs, ys = tri[:, :, 0], tri[:, :, 1]
+    area = ((xs[:, 1] - xs[:, 0]) * (ys[:, 2] - ys[:, 0])
+            - (xs[:, 2] - xs[:, 0]) * (ys[:, 1] - ys[:, 0]))
+    inv_area = jnp.where(jnp.abs(area) < 1e-9, 0.0, 1.0 / area)
+    gid = jnp.arange(f_total, dtype=jnp.float32)     # exact < 2^24
+    pad5 = jnp.zeros((5, f_total), tri_rows.dtype)
+    parts = [tri_rows, inv_area[None], gid[None], pad5]
+    if with_attrs:
+        parts.append(attrs.astype(tri_rows.dtype))
+    full_rows = jnp.concatenate(parts, axis=0)       # (16 or 32, F)
+
+    table, ids_t, tilenc, fetchnc = _bin_faces_banded(
+        full_rows, xs.min(1), xs.max(1), ys.min(1), ys.max(1),
+        inv_area != 0.0, height, width, col_tile, band_h, band_cap,
+        bin_cap)
+
+    kernel = functools.partial(
+        _raster_kernel_banded, n_chunks=n_chunks, band_chunks=band_chunks,
+        col_tile=col_tile, with_attrs=with_attrs)
+    grid = (n_ty, n_tx)
+    tpb_y = band_h // ROW_TILE
+    out_spec = pl.BlockSpec((ROW_TILE, col_tile),
+                            lambda i, j, nc, fc: (i, j),
+                            memory_space=pltpu.VMEM)
+    tile_ix = lambda i, j, nc, fc: (i * n_tx + j, 0, 0)
+    band_ix = lambda i, j, nc, fc: (i // tpb_y, 0, 0)
+    out_specs = [out_spec, out_spec, out_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((height, width), jnp.int32),
+        jax.ShapeDtypeStruct((height, width), jnp.float32),
+        jax.ShapeDtypeStruct((height, width), jnp.float32),
+    ]
+    if with_attrs:
+        out_specs.append(pl.BlockSpec(
+            (1, N_ATTR, ROW_TILE * col_tile), tile_ix,
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (n_ty * n_tx, N_ATTR, ROW_TILE * col_tile), jnp.float32))
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, full_rows.shape[0], band_cap), band_ix,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bin_cap), tile_ix,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(tilenc, fetchnc, table, ids_t)
+    fid, b0, b1 = outs[:3]
+    if with_attrs:
+        mask = fid >= 0
+        bary = tuple(jnp.where(mask, b, 0.0)
+                     for b in (b0, b1, 1.0 - b0 - b1))
+        return fid, bary, _attr_planes(outs[3], height, width, col_tile)
+    bary = jnp.stack([b0, b1, 1.0 - b0 - b1], axis=-1)
+    bary = jnp.where((fid >= 0)[..., None], bary, 0.0)
+    return fid, bary
+
+
 def _bin_faces(tri_rows: jnp.ndarray, inv_area: jnp.ndarray,
                height: int, width: int, col_tile: int, cap: int):
     """Bin faces into fixed-capacity per-tile lists by bbox overlap.

@@ -115,6 +115,99 @@ def test_binned_overflow_drops_highest_ids(rng):
     assert covered.max() == FACE_CHUNK - 1
 
 
+# ---------------------------------------------------------------------------
+# banded (two-level) kernel — the high-resolution path: per-band face
+# tables + per-tile slot lists + in-kernel one-hot MXU row fetch
+# ---------------------------------------------------------------------------
+
+def test_banded_matches_scan(rng):
+    from acr_tpu.viz.raster_pallas import rasterize_pallas_banded
+    s1, f1 = make_geometry(rng, n_pts=300)
+    s2, f2 = make_geometry(rng, n_pts=300)
+    s1 = s1.at[:, 0].add(-30.0).at[:, 1].add(-20.0)
+    s2 = s2.at[:, 0].add(30.0).at[:, 1].add(20.0)
+    screen = jnp.concatenate([s1, s2])
+    faces = jnp.concatenate([f1, f2 + s1.shape[0]])
+    assert faces.shape[0] > 128
+    fid0, bary0 = rasterize(screen, faces, 128, 128)
+    # band_h 32 -> 4 bands; band_cap 256 < f_total -> bands really
+    # select face subsets; bin_cap 128 -> tiles select sub-subsets
+    fid1, bary1 = rasterize_pallas_banded(
+        screen, faces, 128, 128, band_cap=256, bin_cap=128, band_h=32,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(fid0), np.asarray(fid1))
+    np.testing.assert_allclose(np.asarray(bary0), np.asarray(bary1),
+                               atol=1e-5)
+
+
+def test_banded_matches_binned_with_attrs(rng):
+    from acr_tpu.viz.raster_pallas import (rasterize_pallas_banded,
+                                           rasterize_pallas_binned)
+    s1, f1 = make_geometry(rng, n_pts=300)
+    s2, f2 = make_geometry(rng, n_pts=300)
+    s1 = s1.at[:, 1].add(-25.0)
+    s2 = s2.at[:, 1].add(25.0)
+    screen = jnp.concatenate([s1, s2])
+    faces = jnp.concatenate([f1, f2 + s1.shape[0]])
+    attrs = _random_attrs(rng, faces.shape[0])
+    fid0, bary0, at0 = rasterize_pallas_binned(
+        screen, faces, 128, 128, bin_cap=256, interpret=True, attrs=attrs)
+    fid1, bary1, at1 = rasterize_pallas_banded(
+        screen, faces, 128, 128, band_cap=256, bin_cap=256, band_h=64,
+        interpret=True, attrs=attrs)
+    np.testing.assert_array_equal(np.asarray(fid0), np.asarray(fid1))
+    for p0, p1 in zip(bary0, bary1):
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(at0), np.asarray(at1))
+
+
+def test_banded_empty_scene():
+    from acr_tpu.viz.raster_pallas import rasterize_pallas_banded
+    screen = jnp.zeros((3, 3))
+    faces = jnp.zeros((FACE_CHUNK * 2, 3), jnp.int32)
+    fid, bary = rasterize_pallas_banded(screen, faces, 64, 128,
+                                        band_cap=FACE_CHUNK,
+                                        bin_cap=FACE_CHUNK, band_h=32,
+                                        interpret=True)
+    assert (np.asarray(fid) == -1).all()
+    assert (np.asarray(bary) == 0).all()
+
+
+def test_banded_overflow_stats(rng):
+    from acr_tpu.viz.raster_pallas import banded_overflow_stats
+    screen, faces = make_geometry(rng)
+    mx_t, mx_b = banded_overflow_stats(screen, faces, 128, 128, band_h=32)
+    mx_t2, _ = bin_overflow_stats(screen, faces, 128, 128, cap=10000)
+    # tile counts agree with the single-level probe; band counts bound
+    # tile counts from above (a band is a superset of its tiles)
+    assert int(mx_t) == int(mx_t2)
+    assert int(mx_b) >= int(mx_t) > 0
+
+
+def test_render_hands_highres_banded_matches_scan(rng):
+    """size >= 1024 rides the banded two-level kernel through
+    render_hands; output must equal the scan backend exactly (same
+    guarantee the tier switch gives at low res)."""
+    half = 0.04
+    quad = np.array([[-half, -half, 0], [half, -half, 0],
+                     [half, half, 0], [-half, half, 0]], np.float32)
+    verts = jnp.asarray(np.stack([quad + [-0.1, -0.08, 0],
+                                  quad + [0.1, 0.08, 0]]))
+    faces_quad = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    # >128 faces total so the banded path (not the small-mesh flat
+    # shortcut) is taken
+    faces = jnp.asarray(np.tile(np.concatenate(
+        [faces_quad, np.zeros((98, 3), np.int32)]), (2, 1, 1)))
+    trans = jnp.asarray([[0, 0, 1.0], [0, 0, 1.0]], jnp.float32)
+    det = jnp.asarray([True, True])
+    kw = dict(size=1024, focal=1600.0)
+    a = render_hands(verts, trans, det, faces, backend="pallas",
+                     interpret=True, **kw)
+    b = render_hands(verts, trans, det, faces, backend="scan", **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    assert float(np.asarray(a)[..., 3].sum()) > 0      # something drawn
+
+
 def test_bin_overflow_stats(rng):
     screen, faces = make_geometry(rng)
     mx, n_over = bin_overflow_stats(screen, faces, 128, 128, cap=4)
