@@ -420,9 +420,17 @@ def _raster_kernel_banded(tilenc_ref, fetchnc_ref, table_ref, ids_ref,
     b0_ref[:] = out[2]
     b1_ref[:] = out[3]
     if with_attrs:
-        attr_out_ref[0] = _attr_pick_fold(
+        picked = _attr_pick_fold(
             out[4], lambda sl: table_ref[0, 16:, pl.ds(sl, FACE_CHUNK)],
-            fnc, col_tile)
+            fnc, col_tile)                          # (N_ATTR, px)
+        # write PLANAR (N_ATTR, ROW_TILE, col_tile) blocks straight
+        # into the (N_ATTR, H, W) output — no post-kernel relayout
+        # (the tile-major contract's _attr_planes transpose moved
+        # ~268 MB at 2048px, 3.3 ms/frame in the r4 profile). Eight
+        # static lane-aligned slices, one per pixel row.
+        for r in range(ROW_TILE):
+            attr_out_ref[:, r, :] = picked[:, r * col_tile:
+                                           (r + 1) * col_tile]
 
 
 def _bin_faces_banded(full_rows: jnp.ndarray, xmin, xmax, ymin, ymax,
@@ -487,17 +495,23 @@ def _bin_faces_banded(full_rows: jnp.ndarray, xmin, xmax, ymin, ymax,
           & bslot_live[:, None, None, :])
     ov = ov.reshape(n_bands * tpb_y * n_tx, band_cap)    # (T, band_cap)
 
-    order_t = jnp.argsort(~ov, axis=1, stable=True)[:, :cap]   # (T, cap)
+    # single-operand int32 key sort: the KEY IS the slot id (live
+    # slots keep their id, dead ones take the sentinel band_cap), so
+    # one sorted operand yields the ascending slot list, the overflow
+    # truncation (lowest cap ids survive = highest-id faces drop,
+    # same contract as the argsort it replaces) and the dead-slot
+    # sentinel in one pass. The bool-key argsort + index payload this
+    # replaces was the prestage's hottest op pair at 2048px
+    # (sort + shift-left fusion, ~3.7 ms/frame in the r5 profile).
+    keys = jnp.where(ov, jnp.arange(band_cap, dtype=jnp.int32)[None, :],
+                     band_cap)                           # (T, band_cap)
+    ids_t = jax.lax.sort(keys, dimension=1)[:, :cap]     # ascending
     counts_t = jnp.minimum(ov.sum(axis=1), cap).astype(jnp.int32)
-    slot_live = (jnp.arange(cap, dtype=jnp.int32)[None, :]
-                 < counts_t[:, None])
-    ids_t = jnp.where(slot_live, order_t.astype(jnp.int32), band_cap)
     tilenc = (counts_t + FACE_CHUNK - 1) // FACE_CHUNK
     # highest live slot per tile (ascending order) -> exact fetch bound
     max_slot = jnp.take_along_axis(
-        order_t, jnp.maximum(counts_t - 1, 0)[:, None], axis=1)[:, 0]
-    fetchnc = jnp.where(counts_t > 0,
-                        max_slot.astype(jnp.int32) // FACE_CHUNK + 1, 0)
+        ids_t, jnp.maximum(counts_t - 1, 0)[:, None], axis=1)[:, 0]
+    fetchnc = jnp.where(counts_t > 0, max_slot // FACE_CHUNK + 1, 0)
     return table, ids_t[:, None, :], tilenc, fetchnc
 
 
@@ -600,11 +614,13 @@ def rasterize_pallas_banded(verts_screen: jnp.ndarray, faces: jnp.ndarray,
         jax.ShapeDtypeStruct((height, width), jnp.float32),
     ]
     if with_attrs:
+        # planar blocks written in-kernel: the (N_ATTR, H, W) output
+        # needs no _attr_planes relayout (3.3 ms/frame at 2048px)
         out_specs.append(pl.BlockSpec(
-            (1, N_ATTR, ROW_TILE * col_tile), tile_ix,
+            (N_ATTR, ROW_TILE, col_tile), lambda i, j, nc, fc: (0, i, j),
             memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct(
-            (n_ty * n_tx, N_ATTR, ROW_TILE * col_tile), jnp.float32))
+            (N_ATTR, height, width), jnp.float32))
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -626,7 +642,7 @@ def rasterize_pallas_banded(verts_screen: jnp.ndarray, faces: jnp.ndarray,
         mask = fid >= 0
         bary = tuple(jnp.where(mask, b, 0.0)
                      for b in (b0, b1, 1.0 - b0 - b1))
-        return fid, bary, _attr_planes(outs[3], height, width, col_tile)
+        return fid, bary, outs[3]
     bary = jnp.stack([b0, b1, 1.0 - b0 - b1], axis=-1)
     bary = jnp.where((fid >= 0)[..., None], bary, 0.0)
     return fid, bary

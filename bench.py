@@ -221,7 +221,7 @@ def stream_step_setup(precision: str = "fp32", quantize: str = "none",
 
 def _measure_stream_b1(iters: int, reps: int, precision: str = "fp32",
                        quantize: str = "none", render_size: int = 512,
-                       tag: str = ""):
+                       tag: str = "", min_iters: int = 0):
     """Fused webcam stream step at batch 1: forward + OneEuro + refine
     + on-device render, ONE dispatch per frame (pipeline/app). Times
     ``iters`` chained async dispatches ended by one packed readback
@@ -232,10 +232,17 @@ def _measure_stream_b1(iters: int, reps: int, precision: str = "fp32",
     step (see stream_step_setup). Production hosts upload at
     PCIe/local bandwidth, so the device-step number is the one that
     transfers.
+
+    ``min_iters`` floors the chain depth: at 2048px the 16 MB packed
+    output makes the queue-fill transient visible at 30 chained steps
+    (measured 34.1 ms/step at 30 vs 24.1 at 60 and 23.9 at 120 — the
+    sustained rate), so that variant floors at 60 to report the
+    converged number. 512px variants are queue-depth-insensitive.
     """
     import jax
     import numpy as np
 
+    iters = max(iters, min_iters)
     app, step, state, uploads, force = stream_step_setup(
         precision, quantize, render_size)
     pl = app.pipeline
@@ -434,9 +441,11 @@ def main():
             ("stream_step_ms_b1_int8", dict(precision="bf16",
                                             quantize="int8",
                                             tag="_int8")),
-            # high-res 2048px render on the latency path
+            # high-res 2048px render on the latency path (deep queue:
+            # see min_iters in _measure_stream_b1)
             ("stream_step_ms_b1_2048px", dict(render_size=2048,
-                                              tag="_2048px")),
+                                              tag="_2048px",
+                                              min_iters=60)),
         ]
         for key, kwargs in stream_variants:
             try:
