@@ -24,7 +24,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> bool:
+                     process_id: Optional[int] = None,
+                     initialization_timeout: Optional[float] = None) -> bool:
     """Join a multi-process (multi-host) JAX runtime, if configured.
 
     The reference declares DDP flags that nothing ever consumes
@@ -35,7 +36,9 @@ def init_distributed(coordinator: Optional[str] = None,
     DCN/ICI — no other code changes.
 
     Arguments fall back to the environment (``ACR_COORDINATOR``,
-    ``ACR_NUM_PROCESSES``, ``ACR_PROCESS_ID``). Returns True if a
+    ``ACR_NUM_PROCESSES``, ``ACR_PROCESS_ID``; ``ACR_INIT_TIMEOUT``
+    seconds for the coordinator barrier — raise it when ranks start
+    slowly, e.g. compile-loaded shared hosts). Returns True if a
     distributed runtime was initialized, False if unconfigured
     (single-process mode). Idempotent: repeated calls are no-ops.
     """
@@ -48,9 +51,14 @@ def init_distributed(coordinator: Optional[str] = None,
         process_id = int(os.environ.get("ACR_PROCESS_ID", "0"))
     if jax.distributed.is_initialized():
         return True                      # already initialized
-    jax.distributed.initialize(coordinator_address=coordinator,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    if initialization_timeout is None:
+        initialization_timeout = float(
+            os.environ.get("ACR_INIT_TIMEOUT", "300"))
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+        initialization_timeout=int(initialization_timeout))
     return True
 
 
