@@ -210,16 +210,19 @@ class ACRApp:
                         camera=self.visualizer.camera,
                         fov_deg=float(cfg.FOV)),
                     (out["verts"], out["cam_trans"],
-                     out["detection_flag"]))       # (B, 2)
+                     out["detection_flag"]))       # (B, 4)
             return out
 
         def _probe_reduce(out):
-            """Chunk telemetry: worst tile across frames + total
-            overflowing tiles in the chunk (host logging format)."""
+            """Chunk telemetry: worst tile/band across frames + total
+            overflowing tiles/bands in the chunk (host logging
+            format; probe rows are [max_tile, n_tiles_over, max_band,
+            n_bands_over], raster.render_overflow_probe)."""
             per_frame = out.pop("_probe_frames", None)
             if per_frame is not None:
                 out["_raster_overflow"] = jnp.stack(
-                    [per_frame[:, 0].max(), per_frame[:, 1].sum()])
+                    [per_frame[:, 0].max(), per_frame[:, 1].sum(),
+                     per_frame[:, 2].max(), per_frame[:, 3].sum()])
             return out
 
         def _chunk_step(params, ml, mr, state, image, offsets):
@@ -350,13 +353,14 @@ class ACRApp:
         every = self.cfg.raster_overflow_every
         prev = getattr(self, "_probe_frame_idx", 0)
         self._probe_frame_idx = prev + n_frames
-        max_tile, n_over = int(overflow[0]), int(overflow[1])
+        stats = [int(x) for x in np.asarray(overflow).reshape(-1)]
         due = not every or prev == 0 \
             or prev // every != self._probe_frame_idx // every
-        if n_over or due:
-            self._log_overflow(max_tile, n_over)
+        if stats[1] or stats[3] or due:
+            self._log_overflow(*stats)
 
-    def _log_overflow(self, max_tile: int, n_over: int):
+    def _log_overflow(self, max_tile: int, n_over: int,
+                      max_band: int = 0, n_band_over: int = 0):
         if n_over:
             log.warning(
                 "binned rasterizer overflow: %d tiles above capacity "
@@ -364,9 +368,19 @@ class ACRApp:
                 "rendered via the exact flat-kernel fallback; raise "
                 "viz.raster_pallas.BIN_CAP if this is frequent",
                 n_over, max_tile, self.cfg.render_size)
-        else:
+        if n_band_over:
+            log.warning(
+                "banded rasterizer overflow: %d row bands above the "
+                "band table capacity (max %d faces/band) at "
+                "render_size=%d — affected frames rendered via the "
+                "exact flat-kernel fallback even though every tile is "
+                "under BIN_CAP; raise viz.raster_pallas.BAND_CAP if "
+                "this is frequent", n_band_over, max_band,
+                self.cfg.render_size)
+        if not (n_over or n_band_over):
             log.debug("raster capacity probe: max %d faces/tile, "
-                      "0 overflowing tiles", max_tile)
+                      "max %d faces/band, 0 overflows",
+                      max_tile, max_band)
 
     # ------------------------------------------------------------------
     def process_frame(self, bgr_frame: np.ndarray, path: str
@@ -404,7 +418,8 @@ class ACRApp:
 
         overflow = out.pop("_raster_overflow", None)
         if overflow is not None:
-            self._log_overflow(int(overflow[0]), int(overflow[1]))
+            self._log_overflow(
+                *[int(x) for x in np.asarray(overflow).reshape(-1)])
 
         detected = np.asarray(out["detection_flag"])
         if not detected.any():

@@ -262,25 +262,45 @@ def render_overflow_probe(verts: jnp.ndarray, cam_trans: jnp.ndarray,
                           size: int = 512, focal: float = 1265.0,
                           camera: str = "intrinsics",
                           fov_deg: float = 22.5):
-    """Binned-rasterizer capacity telemetry for one frame's scene.
+    """Rasterizer capacity telemetry for one frame's scene.
 
-    Same geometry prep as render_hands, then the bbox-overlap tile
-    counts (raster_pallas.bin_overflow_stats) against the capacity the
-    binned kernel would actually use at this ``size``. Returns device
-    scalars (max_faces_per_tile, n_overflowing_tiles) — dispatch it
-    alongside the frame's render and ride the existing single readback;
-    a nonzero second value means the kernel dropped highest-id faces
-    (the documented overflow contract) and ``cap`` needs raising for
-    this mesh/zoom regime.
+    Same geometry prep as render_hands, then the bbox-overlap counts
+    against the capacities the kernel dispatch would actually use at
+    this ``size``. Returns ONE (4,) int32 device vector —
+    [max_faces_per_tile, n_overflowing_tiles,
+     max_faces_per_band, n_overflowing_bands] —
+    so it packs into the fused steps' single buffer and stacks under
+    lax.map. Dispatch it alongside the frame's render and ride the
+    existing single readback.
+
+    A nonzero [1] means tiles above the tile cap; a nonzero [3] means
+    row bands above the banded kernel's table capacity. EITHER makes
+    render_hands' high-res path (size >= 1024) take the exact flat
+    fallback for the whole frame, so both must be watched — a
+    band-concentrated scene can overflow with every tile under cap
+    (the tile-only probe was blind to that regime). Below 1024px the
+    band fields are always 0 (the banded kernel is not in the
+    dispatch there).
     """
-    from acr_tpu.viz.raster_pallas import bin_cap_for, bin_overflow_stats
+    from acr_tpu.viz.raster_pallas import (band_overflow_stats,
+                                           bin_cap_for,
+                                           bin_overflow_stats)
     v_world = verts + cam_trans[:, None, :]
     all_verts = v_world.reshape(-1, 3)
     screen, all_faces, _ = _scene_screen_faces(
         all_verts, detection_flag, faces, verts.shape[1], size, focal,
         camera, fov_deg)
-    return bin_overflow_stats(screen, all_faces, size, size,
-                              cap=bin_cap_for(size))
+    mx_t, n_t = bin_overflow_stats(screen, all_faces, size, size,
+                                   cap=bin_cap_for(size))
+    f_total = all_faces.shape[0]
+    if size >= 1024 and f_total > 128:     # mirrors render_hands' gate
+        from acr_tpu.viz.raster_pallas import BAND_CAP, BAND_H
+        mx_b, n_b = band_overflow_stats(
+            screen, all_faces, size, band_h=BAND_H,
+            band_cap=min(BAND_CAP, f_total))
+    else:
+        mx_b = n_b = jnp.zeros((), jnp.int32)
+    return jnp.stack([mx_t, n_t, mx_b, n_b]).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "focal", "backend",
@@ -373,17 +393,18 @@ def render_hands(verts: jnp.ndarray,
             # Exactness gate mirrors the tier logic: a frame whose
             # tiles exceed ``cap`` OR whose bands exceed ``band_cap``
             # takes the flat kernel instead of dropping faces.
-            from acr_tpu.viz.raster_pallas import (banded_overflow_stats,
+            from acr_tpu.viz.raster_pallas import (BAND_CAP, BAND_H,
+                                                   banded_overflow_stats,
                                                    rasterize_pallas_banded)
-            band_cap = 2048
+            band_cap = BAND_CAP
             mx_t, mx_b = banded_overflow_stats(screen, all_faces, size,
-                                               size, band_h=256)
+                                               size, band_h=BAND_H)
             idx = ((mx_t > cap) | (mx_b > min(band_cap, f_total))
                    ).astype(jnp.int32)
             out = jax.lax.switch(idx, [
                 lambda s, f: rasterize_pallas_banded(
                     s, f, size, size, band_cap=band_cap, bin_cap=cap,
-                    band_h=256, interpret=interpret, attrs=attrs),
+                    band_h=BAND_H, interpret=interpret, attrs=attrs),
                 lambda s, f: rasterize_pallas(s, f, size, size,
                                               interpret=interpret,
                                               attrs=attrs),

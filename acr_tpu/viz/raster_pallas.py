@@ -34,6 +34,9 @@ COL_TILE = 256        # width tile: keeps (8, 256, 128) intermediates in VMEM
 
 BIN_CAP = 512         # default per-tile face capacity for the binned kernel
 
+BAND_H = 256          # banded kernel: row-band height (px)
+BAND_CAP = 2048       # banded kernel: per-band face-table capacity
+
 
 def bin_cap_for(size: int) -> int:
     """Largest per-tile face capacity tier available at this render
@@ -519,7 +522,7 @@ def _bin_faces_banded(full_rows: jnp.ndarray, xmin, xmax, ymin, ymax,
                                              "band_h"))
 def banded_overflow_stats(verts_screen: jnp.ndarray, faces: jnp.ndarray,
                           height: int, width: int,
-                          col_tile: int = COL_TILE, band_h: int = 256):
+                          col_tile: int = COL_TILE, band_h: int = BAND_H):
     """(max faces per tile, max faces per band) for the banded kernel's
     two fixed capacities — same bbox-overlap counts the prestage
     computes, no kernel run. Callers gate the banded branch on both."""
@@ -549,8 +552,8 @@ def banded_overflow_stats(verts_screen: jnp.ndarray, faces: jnp.ndarray,
                                              "bin_cap", "band_h",
                                              "interpret"))
 def rasterize_pallas_banded(verts_screen: jnp.ndarray, faces: jnp.ndarray,
-                            height: int, width: int, band_cap: int = 2048,
-                            bin_cap: int = 512, band_h: int = 256,
+                            height: int, width: int, band_cap: int = BAND_CAP,
+                            bin_cap: int = BIN_CAP, band_h: int = BAND_H,
                             interpret: bool = False, attrs=None):
     """Two-level binned rasterizer: same output contract as
     rasterize_pallas_binned, built for HIGH resolutions where the
@@ -735,6 +738,33 @@ def bin_overflow_stats(verts_screen: jnp.ndarray, faces: jnp.ndarray,
         (y_hit[:, None, :] & x_hit[None, :, :] & live[None, None, :]),
         axis=-1).reshape(-1)
     return counts.max(), jnp.sum(counts > cap)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "band_h",
+                                             "band_cap"))
+def band_overflow_stats(verts_screen: jnp.ndarray, faces: jnp.ndarray,
+                        height: int, band_h: int = BAND_H,
+                        band_cap: int = BAND_CAP):
+    """Observability for the BANDED kernel's per-band table capacity.
+
+    Returns (max_faces_per_band, n_overflowing_bands) as device
+    scalars — the level-1 analogue of bin_overflow_stats. A band above
+    ``band_cap`` makes render_hands' high-res path take the flat
+    fallback for the WHOLE frame even when every tile is under the
+    tile cap, so production probes must watch this count too (the
+    tile-only probe is blind to it)."""
+    tri = verts_screen[faces]
+    ys = tri[:, :, 1]
+    ymin, ymax = ys.min(1), ys.max(1)
+    xs = tri[:, :, 0]
+    area = ((xs[:, 1] - xs[:, 0]) * (ys[:, 2] - ys[:, 0])
+            - (xs[:, 2] - xs[:, 0]) * (ys[:, 1] - ys[:, 0]))
+    live = jnp.abs(area) >= 1e-9
+    by = jnp.arange(height // band_h, dtype=jnp.float32) * band_h
+    b_hit = ((ymin[None] <= by[:, None] + band_h)
+             & (ymax[None] >= by[:, None]) & live[None])
+    counts = b_hit.sum(axis=1)
+    return counts.max(), jnp.sum(counts > band_cap)
 
 
 def _attr_planes(attr_flat: jnp.ndarray, height: int, width: int,

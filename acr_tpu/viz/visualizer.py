@@ -172,9 +172,10 @@ class Visualizer:
             camera=self.camera, fov_deg=float(self.cfg.FOV), planar=True)
 
     def overflow_probe_device(self, out: Dict, batch_idx: int = 0):
-        """Dispatch the binned-raster capacity probe (no sync).
+        """Dispatch the rasterizer capacity probe (no sync).
 
-        Returns device scalars (max_faces_per_tile, n_overflowing_tiles)
+        Returns ONE (4,) int32 device vector [max_faces_per_tile,
+        n_overflowing_tiles, max_faces_per_band, n_overflowing_bands]
         to ride the frame's single readback; see
         raster.render_overflow_probe."""
         from acr_tpu.viz.raster import render_overflow_probe

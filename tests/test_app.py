@@ -129,3 +129,46 @@ def test_reorganize_results_shapes(rng):
     assert res["a.jpg"][0]["verts"].dtype == np.float16
     srt = sort_results_by_hand(res)
     assert len(srt["a.jpg"]["left"]) == 1 and len(srt["a.jpg"]["right"]) == 0
+
+
+def test_fused_steps_pack_the_probe(tmp_path, small_params, caplog):
+    """The probe must survive the FUSED paths end to end: it rides the
+    packed single readback of both the stream step and the chunk step.
+
+    Regression: render_overflow_probe used to return a raw tuple, which
+    traced fine on the eager per-frame path but crashed pack_outputs
+    (`'tuple' object has no attribute 'shape'`) the moment
+    raster_overflow_every > 0 met a fused step — no test drove that
+    combination (r5 review).
+    """
+    import logging
+    from acr_tpu.pipeline.app import unpack_outputs
+
+    img = np.zeros((128, 128, 3), np.uint8)
+    off = np.array([[128, 128, 0, 0, 0, 0, 0, 0, 0, 0]], np.float32)
+
+    # webcam (stream) fused step
+    cfg = make_cfg(tmp_path, demo_mode="webcam",
+                   temporal_optimization=True, raster_overflow_every=1)
+    app = ACRApp(cfg, params=small_params)
+    assert app._jit_stream_step is not None
+    # unpack_stream consumes (pops) the probe and logs it
+    with caplog.at_level(logging.DEBUG, logger="acr_tpu"):
+        out = app.unpack_stream(app.stream_step(
+            {"image": img[None], "offsets": off}))
+    assert "_raster_overflow" not in out          # consumed
+    assert any("capacity probe" in r.getMessage() or
+               "overflow" in r.getMessage() for r in caplog.records)
+
+    # folder (chunk) fused step: per-frame probes reduce to one vector
+    cfg = make_cfg(tmp_path, demo_mode="folder", val_batch_size=2,
+                   raster_overflow_every=1)
+    app = ACRApp(cfg, params=small_params)
+    assert app._jit_chunk_step is not None, app._fused_bypass_reason
+    imgs = np.zeros((2, 128, 128 * 3), np.uint8)
+    offs = np.tile(off, (2, 1))
+    _, packed = app._jit_chunk_step(
+        app.pipeline.params, app.pipeline.mano_l, app.pipeline.mano_r,
+        app.filter_state, imgs, offs)
+    out = unpack_outputs(packed, list(app._chunk_spec))
+    assert out["_raster_overflow"].shape == (4,)

@@ -230,9 +230,9 @@ def test_render_hands_overflow_falls_back_exact(rng):
     det = jnp.array([True, True])
     kw = dict(size=128, focal=120.0)
     from acr_tpu.viz.raster import render_overflow_probe
-    _, n_over = render_overflow_probe(verts, cam_trans, det, faces, size=128,
-                                      focal=120.0)
-    assert int(n_over) > 0, "scene must actually overflow the bin capacity"
+    probe = render_overflow_probe(verts, cam_trans, det, faces, size=128,
+                                  focal=120.0)
+    assert int(probe[1]) > 0, "scene must actually overflow the bin capacity"
     rgba_p = render_hands(verts, cam_trans, det, faces, backend="pallas",
                           interpret=True, **kw)
     rgba_s = render_hands(verts, cam_trans, det, faces, backend="scan", **kw)
@@ -250,17 +250,59 @@ def test_render_overflow_probe(rng):
     faces = jnp.asarray(
         rng.randint(0, 778, (2, 1538, 3)).astype(np.int32))
     det = jnp.array([True, True])
-    mx, n_over = render_overflow_probe(verts, cam_trans, det, faces,
-                                       size=512)
+    probe = render_overflow_probe(verts, cam_trans, det, faces,
+                                  size=512)
+    assert probe.shape == (4,)
+    mx, n_over, mx_band, n_band = [int(x) for x in probe]
     # a dense random 1538-face blob at the image center easily exceeds
     # the 512-face tile capacity -> the probe must SEE that
-    assert int(mx) > 0
-    assert int(n_over) >= 0
+    assert mx > 0
+    assert n_over >= 0
+    # below 1024px the banded kernel is not in the dispatch: band
+    # fields must be 0 so the host never warns about a capacity that
+    # cannot trigger at this size
+    assert mx_band == 0 and n_band == 0
     # undetected hands contribute no live faces
-    mx0, n0 = render_overflow_probe(verts, cam_trans,
-                                    jnp.array([False, False]), faces,
-                                    size=512)
-    assert int(mx0) == 0 and int(n0) == 0
+    probe0 = render_overflow_probe(verts, cam_trans,
+                                   jnp.array([False, False]), faces,
+                                   size=512)
+    assert int(probe0[0]) == 0 and int(probe0[1]) == 0
+
+
+def test_render_overflow_probe_sees_band_overflow(rng):
+    """A band-concentrated scene at >=1024px: every tile under the
+    tile cap but one 256px row band above BAND_CAP makes render_hands
+    take the flat fallback — the probe must report it (it was blind to
+    this regime when it only counted tiles; r5 review finding)."""
+    from acr_tpu.viz.raster import render_overflow_probe
+    from acr_tpu.viz.raster_pallas import BAND_CAP, BIN_CAP
+    n_verts = 778
+    # verts walk a serpentine grid inside ONE 256px row band (y extent
+    # ~80px, x the full width); faces join CONSECUTIVE verts, so every
+    # face is a tiny local triangle hitting only 1-4 tiles
+    cols = 56
+    i = np.arange(n_verts)
+    xs = (-0.45 + 0.90 * (i % cols) / (cols - 1)).astype(np.float32)
+    # zigzag keeps consecutive triples non-collinear (live area)
+    ys = (0.30 + 0.08 * (i // cols) / (n_verts // cols)
+          + 0.002 * (i % 2)).astype(np.float32)
+    verts = jnp.asarray(np.stack(
+        [xs, ys, np.zeros(n_verts, np.float32)], axis=1))[None]
+    verts = jnp.concatenate([verts, verts], axis=0)       # both hands
+    cam_trans = jnp.asarray(np.array([[0.0, 0.0, 1.0],
+                                      [0.0, 0.0, 1.0]], np.float32))
+    f = np.arange(1538) % (n_verts - 2)
+    faces_np = np.stack([f, f + 1, f + 2], axis=1).astype(np.int32)
+    faces = jnp.asarray(np.stack([faces_np, faces_np], axis=0))
+    det = jnp.array([True, True])
+    probe = render_overflow_probe(verts, cam_trans, det, faces,
+                                  size=1024, focal=1000.0)
+    mx, n_over, mx_band, n_band = [int(x) for x in probe]
+    # 2x1538 live faces all inside one band: above BAND_CAP
+    assert mx_band > BAND_CAP and n_band >= 1, (mx, n_over, mx_band,
+                                                n_band)
+    # ...while no tile exceeds the tile capacity
+    assert mx <= BIN_CAP and n_over == 0, (mx, n_over)
 
 
 def test_bin_faces_prestage_2048_shapes(rng):
@@ -414,9 +456,9 @@ def test_adaptive_capacity_tier_matches_scan(rng):
         [faces_quad, np.zeros((158, 3), np.int32)]), (2, 1, 1)))
     trans = jnp.asarray([[0, 0, 1.0], [0, 0, 1.0]], jnp.float32)
     det = jnp.asarray([True, True])
-    mx, n_over = render_overflow_probe(verts, trans, det, faces, size=256,
-                                       focal=400.0)
-    assert 0 < int(mx) <= 128          # scene really selects tier 0
+    probe = render_overflow_probe(verts, trans, det, faces, size=256,
+                                   focal=400.0)
+    assert 0 < int(probe[0]) <= 128    # scene really selects tier 0
     a = render_hands(verts, trans, det, faces, size=256, focal=400.0,
                      backend="pallas", interpret=True)
     b = render_hands(verts, trans, det, faces, size=256, focal=400.0,
@@ -452,7 +494,7 @@ def test_high_res_keeps_full_capacity_tier():
     faces = np.stack([faces, faces])                      # (2, 300, 3)
     trans = jnp.asarray([[0, 0, 0.6], [0, 0, 0.6]], jnp.float32)
     det = jnp.asarray([True, False])
-    mx, n_over = render_overflow_probe(
+    probe = render_overflow_probe(
         jnp.asarray(verts), trans, det, jnp.asarray(faces), size=2048)
-    assert 256 < int(mx) <= 512, int(mx)
-    assert int(n_over) == 0
+    assert 256 < int(probe[0]) <= 512, int(probe[0])
+    assert int(probe[1]) == 0
