@@ -339,7 +339,12 @@ class ACRPipeline:
             quantize_for_net
         if images is None:
             import logging
-            if committed_calibration_frames(self.cfg.input_size) is None:
+            # load the committed set ONCE and pass it through — the
+            # fallback decision and the data come from the same call
+            # (quantize_for_net would otherwise re-read and re-slice
+            # the 2.9 MB npz immediately; ADVICE r5)
+            images = committed_calibration_frames(self.cfg.input_size)
+            if images is None:
                 # make the implicit fallback visible to operators:
                 # serving with synthetic-frame scales clips real
                 # activations outside the synthetic range with no other

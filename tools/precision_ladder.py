@@ -43,7 +43,13 @@ def main(argv=None):
         ("int8", dict(precision="bf16", quantize="int8", tag="_int8")),
     ]
     if args.with_2048:
-        variants.append(("2048px", dict(render_size=2048, tag="_2048px")))
+        # min_iters=60 mirrors bench.py's stream_step_ms_b1_2048px
+        # variant: at 30 chained steps the 16 MB packed outputs keep
+        # the dispatch queue in its fill transient (+10 ms/step
+        # measured), so shorter chains report queue-fill, not the
+        # sustained rate the ladder documents.
+        variants.append(("2048px", dict(render_size=2048, tag="_2048px",
+                                        min_iters=60)))
 
     out = {"iters": args.iters, "reps": args.reps,
            "backend": jax.default_backend()}
